@@ -1,0 +1,115 @@
+"""Sparse-coding dictionary learning (JAX, batched, MXU-friendly).
+
+The reference ships ``trained_dictionary.mat`` only as a missing git-LFS blob
+(see ``/root/reference/.MISSING_LARGE_BLOBS``), so this framework learns its
+own dictionary.  We use alternating minimisation:
+
+  * sparse step: batched ISTA with soft-thresholding over all training
+    patches at once (one big (N, P) x (P, K) matmul pair per iteration);
+  * dictionary step: method-of-optimal-directions (MOD),
+    ``D = Y Z^T (Z Z^T + eps I)^{-1}``, then column normalisation
+    (the MATLAB twin normalises columns too,
+    reference ``LRS-PnP(Matlab Code)/columnNormalise.m``).
+
+Patches are the same spatio-spectral blocks the solver codes against
+(36 consecutive pixels x 36 consecutive bands of the matricized cube), so
+the learned atoms live in exactly the space the PnP-ISTA stage needs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def column_normalize(D: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Scale every atom (column) to unit l2 norm."""
+    return D / (jnp.linalg.norm(D, axis=0, keepdims=True) + eps)
+
+
+def random_dictionary(patch_dim: int, n_atoms: int, seed: int = 0) -> np.ndarray:
+    """Gaussian random dictionary with unit-norm atoms (fallback/tests)."""
+    rng = np.random.default_rng(seed)
+    D = rng.standard_normal((patch_dim, n_atoms)).astype(np.float32)
+    return np.asarray(column_normalize(jnp.asarray(D)))
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def _ista_code(Y, D, lam, n_iter: int):
+    """Batched ISTA for min_Z 0.5||Y - D Z||^2 + lam ||Z||_1.
+
+    Y: (P, N) patches as columns;  D: (P, K);  returns Z: (K, N).
+    """
+    L = jnp.linalg.norm(D, ord=2) ** 2 + 1e-6  # Lipschitz const of grad
+    Z = jnp.zeros((D.shape[1], Y.shape[1]), Y.dtype)
+
+    def body(Z, _):
+        R = Y - D @ Z
+        G = Z + (D.T @ R) / L
+        Z = jnp.sign(G) * jnp.maximum(jnp.abs(G) - lam / L, 0.0)
+        return Z, None
+
+    Z, _ = jax.lax.scan(body, Z, None, length=n_iter)
+    return Z
+
+
+@functools.partial(jax.jit, static_argnames=("sparse_iters",))
+def _mod_step(Y, D, lam, sparse_iters: int):
+    Z = _ista_code(Y, D, lam, sparse_iters)
+    K = D.shape[1]
+    G = Z @ Z.T + 1e-6 * jnp.eye(K, dtype=Y.dtype)
+    D_new = jnp.linalg.solve(G, (Y @ Z.T).T).T
+    # Re-randomise (keep previous atom) where an atom collapsed to ~zero.
+    norms = jnp.linalg.norm(D_new, axis=0, keepdims=True)
+    D_new = jnp.where(norms > 1e-8, D_new, D)
+    return column_normalize(D_new)
+
+
+def extract_training_patches(
+    cubes: Sequence[np.ndarray],
+    block_size: int = 36,
+    stride: int = 4,
+) -> np.ndarray:
+    """Spatio-spectral training patches from clean cubes.
+
+    Each cube (H, W, B) is matricized to (H*W, B); patches are
+    ``block_size`` consecutive pixel rows x ``block_size`` consecutive bands,
+    flattened band-major to match the solver's block layout
+    (:mod:`..ops.blocks`).  Returns (patch_dim, N).
+    """
+    from .io import matricize
+
+    cols = []
+    for cube in cubes:
+        Y = matricize(np.asarray(cube, dtype=np.float32))
+        P, B = Y.shape
+        for x in range(0, P - block_size + 1, stride * block_size):
+            for y in range(0, B - block_size + 1, stride):
+                blk = Y[x : x + block_size, y : y + block_size]
+                cols.append(blk.T.reshape(-1))  # band-major flatten
+    return np.stack(cols, axis=1)
+
+
+def learn_dictionary(
+    patches: np.ndarray,
+    n_atoms: int = 512,
+    lam: float = 0.05,
+    n_outer: int = 20,
+    sparse_iters: int = 30,
+    seed: int = 0,
+) -> np.ndarray:
+    """Learn a (patch_dim, n_atoms) dictionary from (patch_dim, N) patches."""
+    patches = jnp.asarray(patches, dtype=jnp.float32)
+    patch_dim, n = patches.shape
+    rng = np.random.default_rng(seed)
+    # Initialise atoms from random training patches (standard KSVD init).
+    init_idx = rng.choice(n, size=n_atoms, replace=n < n_atoms)
+    D = column_normalize(patches[:, init_idx] + 1e-3 * jnp.asarray(
+        rng.standard_normal((patch_dim, n_atoms)), dtype=jnp.float32))
+    for _ in range(n_outer):
+        D = _mod_step(patches, D, lam, sparse_iters)
+    return np.asarray(D)

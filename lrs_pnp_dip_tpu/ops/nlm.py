@@ -1,0 +1,121 @@
+"""Non-local-means denoiser — the plug-and-play denoiser inside ISTA.
+
+Reference behavior: inside every ISTA iteration the gradient vector
+(shape (K, 1), K = number of dictionary atoms) is denoised with
+``skimage.restoration.denoise_nl_means(patch_size=3, patch_distance=3,
+h=T, fast_mode=True)`` (reference ``main_LRS_PnP_DIP_pro.py:195-200``,
+``main_LRS_PnP.py:143-147``; MATLAB twin ``NLmeansfilter.m``).  Note the
+reference quirk: the denoiser runs on the *coefficient vector* treated as a
+2-D image, not on image pixels.
+
+This module implements the *fast-mode pairwise NLM* algorithm family used by
+skimage (and documented in Darbon et al., "Fast nonlocal filtering applied
+to electron cryomicroscopy", ISBI 2008):
+
+  * the image is reflect-padded by ``offset + d + 1``;
+  * for every half-space shift t = (t_row, t_col), t_col in [0, d],
+    t_row in [-d, d], the patchwise squared distance
+    ``dist(p, t) = sum_{|u|<=offset} (I[p+u] - I[p+t+u])^2`` is computed
+    for all pixels at once (integral-image equivalent: here a box filter
+    over the shifted squared difference);
+  * pair weight ``w = alpha * exp(-dist / (h^2 s^2))`` with the
+    double-count correction ``alpha = 0.5`` on the t_col = 0 axis
+    (t != 0), and each pair (p, p+t) contributes symmetrically to both
+    endpoints — including the self pair t = 0;
+  * output = weighted average, cropped back.
+
+Everything is static-shaped: the shift loop is a compile-time unrolled
+7 x 4 = 28-step elementwise pipeline of rolls/multiplies that XLA fuses
+into a handful of VPU loops, and is ``vmap``-able over a leading batch of
+blocks.  (scikit-image is not a dependency of this framework; the
+pairwise-NLM spec above *is* the contract, and ``tests/test_nlm.py`` pins
+it against an independent direct-summation oracle.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _box_sum(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Sum over the centered (2r+1)^2 window; out-of-range reads are the
+    rolled-around values but callers only consume positions whose windows
+    are fully interior (guaranteed by the padding margin)."""
+    out = jnp.zeros_like(x)
+    for u in range(-radius, radius + 1):
+        rolled_u = jnp.roll(x, -u, axis=0)
+        for v in range(-radius, radius + 1):
+            out = out + jnp.roll(rolled_u, -v, axis=1)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("patch_size", "patch_distance"))
+def nlm2d(
+    image: jnp.ndarray,
+    h,
+    patch_size: int = 3,
+    patch_distance: int = 3,
+) -> jnp.ndarray:
+    """Fast-mode pairwise NLM of a 2-D image. ``h`` may be a traced scalar."""
+    s = patch_size
+    d = patch_distance
+    offset = s // 2
+    pad = offset + d + 1
+    n_row, n_col = image.shape
+
+    P = jnp.pad(image.astype(jnp.float32), pad, mode="reflect")
+    pr, pc = P.shape
+    h2s2 = jnp.maximum(jnp.asarray(h, jnp.float32) ** 2 * (s * s), 1e-30)
+
+    rows = jnp.arange(pr)[:, None]
+    cols = jnp.arange(pc)[None, :]
+
+    result = jnp.zeros_like(P)
+    weights = jnp.zeros_like(P)
+
+    for t_row in range(-d, d + 1):
+        for t_col in range(0, d + 1):
+            alpha = 0.5 if (t_col == 0 and t_row != 0) else 1.0
+            shifted = jnp.roll(P, (-t_row, -t_col), (0, 1))
+            sqdiff = (P - shifted) ** 2
+            dist = _box_sum(sqdiff, offset)
+            w = alpha * jnp.exp(-jnp.maximum(dist, 0.0) / h2s2)
+            # Valid positions for the "left" endpoint of the pair: both the
+            # patch window and the shifted partner's window stay inside the
+            # padded array.
+            row_lo = max(offset, offset - t_row)
+            row_hi = pr - max(offset, offset + t_row)
+            valid = (
+                (rows >= row_lo)
+                & (rows < row_hi)
+                & (cols >= offset)
+                & (cols < pc - offset - t_col)
+            )
+            w = jnp.where(valid, w, 0.0)
+            # pair (p, p+t): p accumulates w * I[p+t]; p+t accumulates w * I[p]
+            result = result + w * shifted
+            weights = weights + w
+            back_w = jnp.roll(w, (t_row, t_col), (0, 1))
+            result = result + back_w * jnp.roll(P, (t_row, t_col), (0, 1))
+            weights = weights + back_w
+
+    out = result / jnp.maximum(weights, 1e-30)
+    return out[pad : pad + n_row, pad : pad + n_col]
+
+
+def nlm_column(
+    vec: jnp.ndarray,
+    h,
+    patch_size: int = 3,
+    patch_distance: int = 3,
+) -> jnp.ndarray:
+    """NLM of a length-K vector treated as a (K, 1) image (the reference's
+    coefficient-vector denoising).  Returns a length-K vector."""
+    return nlm2d(vec[:, None], h, patch_size, patch_distance)[:, 0]
+
+
+# Batched over a leading block axis; h per block.
+nlm_column_batch = jax.vmap(nlm_column, in_axes=(0, 0))
