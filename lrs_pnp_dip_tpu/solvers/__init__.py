@@ -1,0 +1,19 @@
+from .admm import Solver, SolverState, StepAux, solve
+from .dip import DipConfig, DipResult, get_dip_out, make_dip_fit
+from .early_stop import EarlyStopState, init_early_stop, update_early_stop
+from .fit import fit
+
+__all__ = [
+    "Solver",
+    "SolverState",
+    "StepAux",
+    "solve",
+    "DipConfig",
+    "DipResult",
+    "get_dip_out",
+    "make_dip_fit",
+    "EarlyStopState",
+    "init_early_stop",
+    "update_early_stop",
+    "fit",
+]

@@ -1,0 +1,136 @@
+"""Per-image Deep-Image-Prior training — the DIP prox of the ADMM loop.
+
+Reference semantics (``get_DIP_out``, ``main_LRS_PnP_DIP_pro.py:211-274``):
+every outer ADMM iteration builds a FRESH network, trains it with Adam
+(lr 0.1) on the masked MSE against the fixed noisy target
+``mse(target * mask, out * mask)``, with the network *input* being the
+current ADMM iterate ``X + lambda_2/mu_2`` (image-conditioned DIP, not
+noise-input), and returns the output at the windowed-variance early stop.
+
+TPU-first: the whole fit is ONE compiled ``lax.while_loop`` whose body is
+forward + backward + Adam update + early-stop bookkeeping; the loop exits
+at the stop condition without host round-trips.  Fresh-net-per-call is a
+new PRNG split — same compiled computation, new init.
+
+The reference's latent bug of returning ``None`` when early stop never
+fires (SURVEY A9) is *not* reproduced: we return the final output and an
+explicit ``stopped`` flag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from .early_stop import EarlyStopState, init_early_stop, update_early_stop
+
+
+@dataclasses.dataclass(frozen=True)
+class DipConfig:
+    """DIP training hyper-parameters (reference defaults)."""
+
+    num_iter: int = 5000
+    learning_rate: float = 0.1
+    show_every: int = 1
+    buffer_size: int = 30
+    patience: int = 60
+
+
+class DipResult(NamedTuple):
+    out: jnp.ndarray  # network output at stop (N, H, W, C)
+    loss: jnp.ndarray  # final masked-MSE loss
+    n_iters: jnp.ndarray  # iterations actually run
+    stopped: jnp.ndarray  # whether early stop fired
+
+
+class _FitState(NamedTuple):
+    params: Any
+    model_state: Any
+    opt_state: Any
+    out: jnp.ndarray
+    loss: jnp.ndarray
+    es: EarlyStopState
+    i: jnp.ndarray
+
+
+def make_dip_fit(model: nn.Module, cfg: DipConfig = DipConfig()):
+    """Build a jit-able ``fit(key, dip_input, target, mask) -> DipResult``.
+
+    ``dip_input``/``target``: (N, H, W, C); ``mask``: broadcastable to them
+    (the observation mask; loss is computed on observed pixels only).
+    """
+    opt = optax.adam(cfg.learning_rate)
+
+    def loss_fn(params, model_state, dip_input, target, mask):
+        variables = {"params": params, **model_state}
+        if model_state:
+            out, new_state = model.apply(variables, dip_input, mutable=list(model_state))
+        else:
+            out, new_state = model.apply(variables, dip_input), {}
+        loss = jnp.mean((target * mask - out * mask) ** 2)
+        return loss, (out, new_state)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def fit(key, dip_input, target, mask) -> DipResult:
+        variables = model.init(key, dip_input)
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        opt_state = opt.init(params)
+        out_dim = 1
+        for d in target.shape:
+            out_dim *= int(d)
+
+        def cond(s: _FitState):
+            return jnp.logical_and(~s.es.stop, s.i < cfg.num_iter)
+
+        def body(s: _FitState) -> _FitState:
+            (loss, (out, new_model_state)), grads = grad_fn(
+                s.params, s.model_state, dip_input, target, mask
+            )
+            updates, opt_state = opt.update(grads, s.opt_state, s.params)
+            params = optax.apply_updates(s.params, updates)
+            es = jax.lax.cond(
+                s.i % cfg.show_every == 0,
+                lambda e: update_early_stop(e, out.reshape(-1), s.i, cfg.patience),
+                lambda e: e,
+                s.es,
+            )
+            return _FitState(params, new_model_state, opt_state, out, loss, es, s.i + 1)
+
+        init = _FitState(
+            params=params,
+            model_state=model_state,
+            opt_state=opt_state,
+            out=jnp.zeros(target.shape, jnp.float32),
+            loss=jnp.asarray(jnp.inf, jnp.float32),
+            es=init_early_stop(cfg.buffer_size, out_dim),
+            i=jnp.zeros((), jnp.int32),
+        )
+        final = jax.lax.while_loop(cond, body, init)
+        return DipResult(
+            out=final.out, loss=final.loss, n_iters=final.i, stopped=final.es.stop
+        )
+
+    return fit
+
+
+def get_dip_out(
+    model: nn.Module,
+    key,
+    dip_input,
+    target,
+    mask,
+    num_iter: int = 5000,
+    learning_rate: float = 0.1,
+    show_every: int = 1,
+) -> DipResult:
+    """One-shot convenience mirroring the reference ``get_DIP_out`` call."""
+    cfg = DipConfig(num_iter=num_iter, learning_rate=learning_rate, show_every=show_every)
+    return jax.jit(make_dip_fit(model, cfg))(key, dip_input, target, mask)

@@ -1,0 +1,82 @@
+"""Configuration dataclasses and per-variant presets.
+
+The reference has no config system — hyper-parameters are module-level
+constants and variant selection is "which script you run"
+(``main_LRS_PnP_DIP_pro.py:324-353``, ``main_LRS_PnP.py:217-238``).  Here
+every constant lives in one frozen dataclass, with presets reproducing the
+three reference entry points exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from ..ops.ista import SparseProxConfig
+from ..solvers.dip import DipConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Full configuration of one LRS-PnP(-DIP) solve."""
+
+    variant: str = "dip"  # 'lrs_pnp' | 'dip' | 'dip_1lip'
+    # ADMM / data-fidelity (reference names in comments)
+    gamma: float = 0.5  # data-fidelity weight
+    mu1: float = 0.1  # sparsity penalty
+    mu2: float = 0.1  # low-rank penalty
+    outer_iters: int = 250  # iteration_num
+    block_size: int = 36  # bb
+    stride: int = 36  # slidingDis
+    sparse: SparseProxConfig = SparseProxConfig()
+    dip: Optional[DipConfig] = DipConfig()
+    # network (DIP variants)
+    net_width: int = 128
+    ln_lambda: float = 1.0  # Lipschitz bound (1-Lip variant)
+    sn_mode: str = "power"  # spectral-norm estimator
+    seed: int = 0
+    dtype: str = "float32"
+
+
+def lrs_pnp_preset(**overrides) -> SolverConfig:
+    """Classic LRS-PnP (SVT low-rank prox, no DIP) —
+    reference ``main_LRS_PnP.py:217-238``: mu1 = 0.15, mu2 = 0.15*6,
+    Nit = 80, 2 outer iterations, alpha = ||H||_2^2, h = T*0.1."""
+    cfg = SolverConfig(
+        variant="lrs_pnp",
+        mu1=0.15,
+        mu2=0.15 * 6,
+        outer_iters=2,
+        sparse=SparseProxConfig(n_iter=80, alpha_mode="specnorm", h_scale=0.1),
+        dip=None,
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
+def dip_preset(**overrides) -> SolverConfig:
+    """LRS-PnP-DIP — reference ``main_LRS_PnP_DIP_pro.py:324-353``:
+    mu1 = mu2 = 0.1, Nit = 100, alpha = 4*trace, 250 outer iterations,
+    DIP: skip-128 net, Adam lr 0.1, <=5000 iters, ES window 30/patience 60."""
+    cfg = SolverConfig(
+        variant="dip",
+        mu1=0.1,
+        mu2=0.1,
+        outer_iters=250,
+        sparse=SparseProxConfig(n_iter=100, alpha_mode="trace4", h_scale=1.0),
+        dip=DipConfig(),
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
+def dip_1lip_preset(**overrides) -> SolverConfig:
+    """LRS-PnP-DIP(1-Lip) — reference ``main_LRS_PnP_DIP_1-LiP.py``:
+    as `dip` but with the spectral-norm-constrained UNet (ln_lambda=1)."""
+    cfg = dataclasses.replace(dip_preset(), variant="dip_1lip", ln_lambda=1.0)
+    return dataclasses.replace(cfg, **overrides)
+
+
+PRESETS = {
+    "lrs_pnp": lrs_pnp_preset,
+    "dip": dip_preset,
+    "dip_1lip": dip_1lip_preset,
+}

@@ -1,0 +1,92 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lrs_pnp_dip_tpu.models import Skip
+from lrs_pnp_dip_tpu.solvers.dip import DipConfig, make_dip_fit
+from lrs_pnp_dip_tpu.solvers.early_stop import init_early_stop, update_early_stop
+from lrs_pnp_dip_tpu.solvers.fit import FitConfig, fit
+
+
+def _tiny_net(out_ch):
+    return Skip(
+        num_output_channels=out_ch,
+        channels_down=(8, 8),
+        channels_up=(8, 8),
+        channels_skip=(4, 4),
+        pad="reflection",
+    )
+
+
+def test_early_stop_state_machine():
+    """Variance improving -> no stop; flat variance -> stop after patience
+    checks once the window is full (reference EarlyStop.check_stop)."""
+    es = init_early_stop(size=4, dim=3)
+    # fill with identical images: variance = 0 -> best improves once, then
+    # wait grows on every subsequent equal-variance check
+    x = jnp.ones(3)
+    for i in range(4):
+        es = update_early_stop(es, x, i, patience=3)
+    assert not bool(es.stop)
+    assert float(es.best_score) == 0.0
+    for i in range(4, 8):
+        es = update_early_stop(es, x, i, patience=3)
+    assert bool(es.stop)
+
+
+def test_early_stop_waits_for_window_fill():
+    es = init_early_stop(size=10, dim=2)
+    for i in range(9):
+        es = update_early_stop(es, jnp.ones(2) * i, i, patience=1)
+    # window not yet full: best_score untouched, no stop
+    assert not bool(es.stop)
+    assert np.isinf(float(es.best_score))
+
+
+def test_dip_fit_learns_and_stops():
+    rng = np.random.default_rng(0)
+    target = jnp.asarray(rng.random((1, 16, 16, 4)).astype(np.float32))
+    mask = jnp.asarray((rng.random((1, 16, 16, 1)) > 0.2).astype(np.float32))
+    inp = jnp.asarray(rng.random((1, 16, 16, 4)).astype(np.float32))
+    # long-patience run: must actually fit the target
+    cfg = DipConfig(num_iter=300, learning_rate=0.05, buffer_size=10, patience=1000)
+    fit_fn = jax.jit(make_dip_fit(_tiny_net(4), cfg))
+    res = fit_fn(jax.random.PRNGKey(0), inp, target, mask)
+    assert float(res.loss) < 0.02  # masked MSE must drop
+    assert int(res.n_iters) == 300 and not bool(res.stopped)
+    assert res.out.shape == target.shape
+    # short-patience run: the windowed-variance early stop must fire
+    cfg2 = DipConfig(num_iter=300, learning_rate=0.05, buffer_size=10, patience=15)
+    res2 = jax.jit(make_dip_fit(_tiny_net(4), cfg2))(
+        jax.random.PRNGKey(0), inp, target, mask
+    )
+    assert bool(res2.stopped) and int(res2.n_iters) < 300
+
+
+def test_dip_fresh_init_differs():
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(rng.random((1, 16, 16, 4)).astype(np.float32))
+    mask = jnp.ones((1, 16, 16, 1), jnp.float32)
+    inp = jnp.asarray(rng.random((1, 16, 16, 4)).astype(np.float32))
+    cfg = DipConfig(num_iter=5, buffer_size=3, patience=100)
+    fit_fn = jax.jit(make_dip_fit(_tiny_net(4), cfg))
+    r1 = fit_fn(jax.random.PRNGKey(0), inp, target, mask)
+    r2 = fit_fn(jax.random.PRNGKey(1), inp, target, mask)
+    assert not np.allclose(np.asarray(r1.out), np.asarray(r2.out))
+
+
+def test_standalone_fit_find_best():
+    rng = np.random.default_rng(2)
+    target = jnp.asarray(rng.random((1, 16, 16, 2)).astype(np.float32))
+    inp = jnp.asarray(rng.random((1, 16, 16, 2)).astype(np.float32))
+    res = fit(
+        _tiny_net(2),
+        jax.random.PRNGKey(0),
+        inp,
+        target,
+        config=FitConfig(num_iter=60, lr=0.03, reg_noise_std=0.01,
+                         lr_decay_epoch=20, find_best=True),
+    )
+    assert res.losses.shape == (60,)
+    assert float(res.losses[-1]) < float(res.losses[0])
+    assert res.out.shape == target.shape
