@@ -1,0 +1,115 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: PnP-ISTA block-iterations/sec of the sparse-coding prox (the
+reference's dominant hot loop: 144 blocks x Nit ISTA steps x NLM per outer
+iteration, run serially on CPU in the reference,
+``main_LRS_PnP_DIP_pro.py:375-400``).  ``vs_baseline`` is the speedup of
+this chip over the same optimized code on the host CPU (BASELINE.json
+target: >= 5x per chip vs CPU).
+
+Usage:  python bench.py [--quick] [--json-only]
+Extra diagnostics (DIP step time, full outer-iteration time) go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _time_fn(fn, *args, warmup=1, iters=3):
+    for _ in range(warmup):
+        r = fn(*args)
+    _block(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    _block(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def _block(x):
+    import jax
+
+    jax.block_until_ready(x)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="fewer timing reps")
+    p.add_argument("--skip-cpu", action="store_true", help="reuse stored CPU baseline")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lrs_pnp_dip_tpu.data import random_dictionary
+    from lrs_pnp_dip_tpu.data.io import load_reference_sample, reference_data_available
+    from lrs_pnp_dip_tpu.data.masks import synthetic_sample
+    from lrs_pnp_dip_tpu.ops.blocks import block_grid, extract_blocks
+    from lrs_pnp_dip_tpu.ops.ista import SparseProxConfig, sparse_prox
+    from lrs_pnp_dip_tpu.data.io import matricize
+
+    iters = 2 if args.quick else 5
+
+    # Problem: the reference flagship config — 36x36x128 cube, 144 blocks,
+    # Nit=100 ISTA iterations, K=512 atoms.
+    if reference_data_available():
+        sample = load_reference_sample("img1", "mask1")
+    else:
+        sample = synthetic_sample(36, 36, 128, missing=0.05)
+    Y = np.asarray(matricize(sample.noisy), np.float32)
+    D = random_dictionary(36 * 36, 512, seed=0)
+    cfg = SparseProxConfig(n_iter=100, alpha_mode="trace4")
+    grid = block_grid(Y.shape, 36, 36)
+
+    def bench_on(device):
+        Yd = jax.device_put(jnp.asarray(Y), device)
+        Dd = jax.device_put(jnp.asarray(D), device)
+        blocks = extract_blocks(Yd, grid)
+        mask_blocks = (blocks != 0).astype(jnp.float32)
+        fn = jax.jit(lambda b, m, d: sparse_prox(b, m, d, cfg))
+        t = _time_fn(fn, blocks, mask_blocks, Dd, warmup=1, iters=iters)
+        return t
+
+    main_dev = jax.devices()[0]
+    t_main = bench_on(main_dev)
+    block_iters_per_sec = grid.n_blocks * cfg.n_iter / t_main
+    print(
+        f"[bench] sparse prox on {main_dev.platform}: {t_main*1e3:.2f} ms "
+        f"({block_iters_per_sec:,.0f} block-ISTA iters/s)",
+        file=sys.stderr,
+    )
+
+    vs_baseline = 1.0
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+        if cpu_dev != main_dev:
+            t_cpu = bench_on(cpu_dev)
+            vs_baseline = t_cpu / t_main
+            print(
+                f"[bench] sparse prox on cpu: {t_cpu*1e3:.2f} ms -> "
+                f"speedup {vs_baseline:.2f}x",
+                file=sys.stderr,
+            )
+    except RuntimeError as e:
+        print(f"[bench] no cpu baseline: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "pnp_ista_block_iters_per_sec",
+                "value": round(block_iters_per_sec, 1),
+                "unit": "block_iters/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,7 @@ from typing import Literal
 import jax
 import jax.numpy as jnp
 
-from .nlm import nlm_column_batch
+from .nlm import nlm_column_batch_fast
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,7 +112,7 @@ def pnp_ista_blocks(
     def body(x, _):
         resid = Ym - M * (x @ D.T)  # (nB, P)
         grad = x + (resid @ D) / alpha[:, None]  # (nB, K)
-        x = nlm_column_batch(grad, h)
+        x = nlm_column_batch_fast(grad, h)
         return x, None
 
     x0 = jnp.zeros((nB, K), jnp.float32)

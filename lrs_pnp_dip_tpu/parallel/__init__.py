@@ -1,0 +1,16 @@
+from .mesh import make_mesh, mesh_axis_sizes
+from .sharding import consts_sharding, replicate, state_sharding
+from .collectives import distributed_gram, distributed_svt, make_distributed_svt
+from .engine import ShardedSolver
+
+__all__ = [
+    "make_mesh",
+    "mesh_axis_sizes",
+    "state_sharding",
+    "consts_sharding",
+    "replicate",
+    "distributed_gram",
+    "distributed_svt",
+    "make_distributed_svt",
+    "ShardedSolver",
+]

@@ -12,11 +12,17 @@ Reference call stack being re-designed (SURVEY §3.1; loop bodies at
   5. convergence distances log||state - prev||
 
 TPU-first shape: the entire outer step — including the DIP training
-``while_loop`` — is ONE jit-compiled pure function
-``step(SolverState) -> (SolverState, StepAux)``; the Python loop around it
-only orchestrates logging/checkpointing.  The DIP network is freshly
-initialised inside the step from a split of the carried PRNG key, so one
-compilation serves all 250 outer iterations.
+``while_loop`` — is ONE pure function ``step(SolverState, ProblemConsts)``
+built once per (config, shapes) by :func:`build_step`.  The same function
+is
+
+  * jit-compiled directly for a single problem (:class:`Solver`),
+  * ``vmap``-ped over a leading sample axis for the 5-image x 4-mask
+    batched recovery (:mod:`.batch`),
+  * jit-ted with mesh shardings for multi-chip runs (:mod:`..parallel`).
+
+The DIP network is freshly initialised inside the step from a split of the
+carried PRNG key, so one compilation serves all 250 outer iterations.
 """
 
 from __future__ import annotations
@@ -27,11 +33,10 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import struct
 
 from ..data.io import HsiSample, matricize
 from ..models import LipschitzUNet, dip_skip_128
-from ..ops.blocks import block_grid, extract_blocks
+from ..ops.blocks import BlockGrid, block_grid, extract_blocks, scatter_blocks
 from ..ops.fidelity import data_fidelity_update, dual_updates
 from ..ops.ista import sparse_prox
 from ..ops.metrics import mpsnr
@@ -49,6 +54,21 @@ class SolverState(NamedTuple):
     lambda2: jnp.ndarray  # (P, B) low-rank dual
     key: jnp.ndarray  # PRNG key (drives fresh DIP init per step)
     itr: jnp.ndarray  # outer iteration counter
+
+
+class ProblemConsts(NamedTuple):
+    """Per-problem constants threaded through the pure step function.
+
+    ``clean`` may be a NaN cube when no ground truth exists (metrics then
+    come out NaN, matching 'no eval possible')."""
+
+    Y: jnp.ndarray  # (P, B) observed matricized image
+    mask2d: jnp.ndarray  # (P, B) observation mask
+    mask_blocks: jnp.ndarray  # (nB, bb*bb) observed-entry mask per block
+    D: jnp.ndarray  # (bb*bb, K) dictionary
+    clean: jnp.ndarray  # (H, W, B) ground truth (or NaN)
+    dip_target: jnp.ndarray  # (1, H, W, B) fixed noisy target (DIP variants)
+    dip_mask: jnp.ndarray  # (1, H, W, 1) observation mask for DIP loss
 
 
 class StepAux(NamedTuple):
@@ -69,13 +89,132 @@ def _log_dist(a, b):
     return jnp.log(jnp.linalg.norm(a - b))
 
 
-class Solver:
-    """LRS-PnP / LRS-PnP-DIP / LRS-PnP-DIP(1-Lip) engine for one problem.
+def default_net(config: SolverConfig, n_bands: int):
+    if config.variant == "dip":
+        return dip_skip_128(num_channels=n_bands)
+    if config.variant == "dip_1lip":
+        return LipschitzUNet(
+            num_output_channels=n_bands,
+            width=config.net_width,
+            ln_lambda=config.ln_lambda,
+            sn_mode=config.sn_mode,
+        )
+    return None
 
-    Builds all static data (block grid, observed-block mask, dictionary)
-    once, compiles one outer step, and exposes ``init_state`` / ``step`` /
-    ``run``.
+
+def build_step(
+    config: SolverConfig,
+    image_shape: tuple,  # (H, W, B)
+    net=None,
+    svt_fn: Optional[Callable] = None,
+) -> Callable[[SolverState, ProblemConsts], tuple]:
+    """Build the pure outer-step function for one problem geometry.
+
+    ``svt_fn(Z, tau)`` may be overridden (e.g. with the distributed
+    Gram-psum SVT from :mod:`..parallel.collectives`).
     """
+    h, w, b = image_shape
+    grid = block_grid((h * w, b), config.block_size, config.stride)
+    cfg = config
+    if cfg.variant in ("dip", "dip_1lip"):
+        net = net or default_net(cfg, b)
+        dip_fit = make_dip_fit(net, cfg.dip)
+    elif cfg.variant != "lrs_pnp":
+        raise ValueError(f"unknown variant {cfg.variant!r}")
+    svt_fn = svt_fn or svt_gram
+
+    def u_update(X, lambda2, key, consts: ProblemConsts):
+        Z = X + lambda2 / cfg.mu2
+        if cfg.variant == "lrs_pnp":
+            U = svt_fn(Z, 1.0 / cfg.mu2)
+            return U, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32)
+        dip_input = Z.reshape(1, h, w, b)
+        res: DipResult = dip_fit(key, dip_input, consts.dip_target, consts.dip_mask)
+        return res.out.reshape(h * w, b), res.n_iters, res.loss
+
+    def step(state: SolverState, consts: ProblemConsts):
+        key, dip_key = jax.random.split(state.key)
+        # 1. sparse-coding prox over blocks
+        blocks = extract_blocks(state.X + state.lambda1 / cfg.mu1, grid)
+        phi = sparse_prox(blocks, consts.mask_blocks, consts.D, cfg.sparse)
+        # 2. low-rank / DIP prox
+        U, dip_iters, dip_loss = u_update(state.X, state.lambda2, dip_key, consts)
+        # 3. closed-form X
+        X, im_out = data_fidelity_update(
+            consts.Y, consts.mask2d, phi, U, state.lambda1, state.lambda2,
+            grid, cfg.gamma, cfg.mu1, cfg.mu2,
+        )
+        # 4. duals
+        l1, l2 = dual_updates(
+            state.lambda1, state.lambda2, X, im_out, U, cfg.mu1, cfg.mu2
+        )
+        # 5. diagnostics
+        cube = X.reshape(h, w, b)
+        aux = StepAux(
+            mpsnr=mpsnr(consts.clean, cube),
+            ssim=ssim(consts.clean, cube),
+            x_dist=_log_dist(X, state.X),
+            l1_dist=_log_dist(l1, state.lambda1),
+            l2_dist=_log_dist(l2, state.lambda2),
+            dip_iters=dip_iters,
+            dip_loss=dip_loss,
+            U=U,
+            phi_scatter=scatter_blocks(phi, grid) / grid.weight(),
+        )
+        new_state = SolverState(X=X, lambda1=l1, lambda2=l2, key=key, itr=state.itr + 1)
+        return new_state, aux
+
+    return step
+
+
+def make_consts(
+    sample: HsiSample, dictionary, config: SolverConfig
+) -> ProblemConsts:
+    """Assemble the per-problem constant pytree from a sample."""
+    h, w, b = sample.shape
+    Y = jnp.asarray(matricize(sample.noisy), jnp.float32)
+    mask2d = jnp.asarray(
+        np.repeat(matricize(sample.mask[..., None]), b, axis=1), jnp.float32
+    )
+    grid = block_grid((h * w, b), config.block_size, config.stride)
+    obs_blocks = extract_blocks(Y, grid)
+    # Missing entries located once from the *observed* blocks
+    # (reference ``blocks_copy``, ``main_LRS_PnP_DIP_pro.py:347``).
+    mask_blocks = (obs_blocks != 0).astype(jnp.float32)
+    clean = (
+        jnp.asarray(sample.clean, jnp.float32)
+        if sample.clean is not None
+        else jnp.full((h, w, b), jnp.nan, jnp.float32)
+    )
+    return ProblemConsts(
+        Y=Y,
+        mask2d=mask2d,
+        mask_blocks=mask_blocks,
+        D=jnp.asarray(dictionary, jnp.float32),
+        clean=clean,
+        dip_target=jnp.asarray(sample.noisy, jnp.float32)[None],
+        dip_mask=jnp.asarray(sample.mask, jnp.float32)[None, :, :, None],
+    )
+
+
+def init_state(sample_or_Y, seed: int = 0) -> SolverState:
+    """X starts at the observed image; duals at zero
+    (reference ``main_LRS_PnP_DIP_pro.py:324-334``)."""
+    if isinstance(sample_or_Y, HsiSample):
+        Y = jnp.asarray(matricize(sample_or_Y.noisy), jnp.float32)
+    else:
+        Y = jnp.asarray(sample_or_Y, jnp.float32)
+    return SolverState(
+        X=Y,
+        lambda1=jnp.zeros_like(Y),
+        lambda2=jnp.zeros_like(Y),
+        key=jax.random.PRNGKey(seed),
+        itr=jnp.zeros((), jnp.int32),
+    )
+
+
+class Solver:
+    """Single-problem LRS-PnP / LRS-PnP-DIP / LRS-PnP-DIP(1-Lip) engine."""
 
     def __init__(
         self,
@@ -84,125 +223,22 @@ class Solver:
         config: SolverConfig,
         jit_step: bool = True,
         net=None,
+        svt_fn: Optional[Callable] = None,
     ):
         self.sample = sample
         self.config = config
-        h, w, b = sample.shape
-        self.height, self.width, self.n_bands = h, w, b
-
-        Y = jnp.asarray(matricize(sample.noisy), jnp.float32)  # (P, B)
-        mask2d = jnp.asarray(
-            np.repeat(matricize(sample.mask[..., None]), b, axis=1), jnp.float32
-        )
-        self.Y = Y
-        self.mask2d = mask2d
-        self.D = jnp.asarray(dictionary, jnp.float32)
-        self.grid = block_grid((h * w, b), config.block_size, config.stride)
-        # Missing entries located once from the *observed* blocks
-        # (reference ``blocks_copy``, ``main_LRS_PnP_DIP_pro.py:347``).
-        obs_blocks = extract_blocks(Y, self.grid)
-        self.mask_blocks = (obs_blocks != 0).astype(jnp.float32)
-        self.clean_cube = (
-            jnp.asarray(sample.clean, jnp.float32) if sample.clean is not None else None
-        )
-        # DIP pieces
-        self._dip_fit = None
-        if config.variant in ("dip", "dip_1lip"):
-            if net is None:
-                if config.variant == "dip":
-                    net = dip_skip_128(num_channels=b)
-                else:
-                    net = LipschitzUNet(
-                        num_output_channels=b,
-                        width=config.net_width,
-                        ln_lambda=config.ln_lambda,
-                        sn_mode=config.sn_mode,
-                    )
-            self.net = net
-            self._dip_fit = make_dip_fit(net, config.dip)
-            # fixed DIP target: the noisy observation as (1, H, W, B)
-            self.dip_target = jnp.asarray(sample.noisy, jnp.float32)[None]
-            self.dip_mask = jnp.asarray(sample.mask, jnp.float32)[None, :, :, None]
-        elif config.variant != "lrs_pnp":
-            raise ValueError(f"unknown variant {config.variant!r}")
-
-        step = self._build_step()
+        self.height, self.width, self.n_bands = sample.shape
+        self.consts = make_consts(sample, dictionary, config)
+        step = build_step(config, sample.shape, net=net, svt_fn=svt_fn)
         self._step = jax.jit(step) if jit_step else step
 
-    # ------------------------------------------------------------------
     def init_state(self, seed: Optional[int] = None) -> SolverState:
-        key = jax.random.PRNGKey(self.config.seed if seed is None else seed)
-        return SolverState(
-            X=self.Y,
-            lambda1=jnp.zeros_like(self.Y),
-            lambda2=jnp.zeros_like(self.Y),
-            key=key,
-            itr=jnp.zeros((), jnp.int32),
+        return init_state(
+            self.sample, self.config.seed if seed is None else seed
         )
 
-    # ------------------------------------------------------------------
-    def _u_update(self, X, lambda2, key):
-        """The low-rank prox: SVT or a fresh DIP training run."""
-        cfg = self.config
-        Z = X + lambda2 / cfg.mu2
-        if cfg.variant == "lrs_pnp":
-            U = svt_gram(Z, 1.0 / cfg.mu2)
-            return U, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32)
-        # image-conditioned DIP: input is the ADMM iterate as (1, H, W, B)
-        dip_input = Z.reshape(1, self.height, self.width, self.n_bands)
-        res: DipResult = self._dip_fit(key, dip_input, self.dip_target, self.dip_mask)
-        U = res.out.reshape(self.height * self.width, self.n_bands)
-        return U, res.n_iters, res.loss
-
-    def _build_step(self) -> Callable[[SolverState], tuple]:
-        cfg = self.config
-        grid = self.grid
-
-        def step(state: SolverState):
-            key, dip_key = jax.random.split(state.key)
-            # 1. sparse-coding prox over blocks
-            blocks = extract_blocks(state.X + state.lambda1 / cfg.mu1, grid)
-            phi = sparse_prox(blocks, self.mask_blocks, self.D, cfg.sparse)
-            # 2. low-rank / DIP prox
-            U, dip_iters, dip_loss = self._u_update(state.X, state.lambda2, dip_key)
-            # 3. closed-form X
-            X, im_out = data_fidelity_update(
-                self.Y, self.mask2d, phi, U, state.lambda1, state.lambda2,
-                grid, cfg.gamma, cfg.mu1, cfg.mu2,
-            )
-            # 4. duals
-            l1, l2 = dual_updates(
-                state.lambda1, state.lambda2, X, im_out, U, cfg.mu1, cfg.mu2
-            )
-            # 5. diagnostics
-            cube = X.reshape(self.height, self.width, self.n_bands)
-            if self.clean_cube is not None:
-                m = mpsnr(self.clean_cube, cube)
-                s = ssim(self.clean_cube, cube)
-            else:
-                m = jnp.asarray(jnp.nan)
-                s = jnp.asarray(jnp.nan)
-            from ..ops.blocks import scatter_blocks
-
-            aux = StepAux(
-                mpsnr=m,
-                ssim=s,
-                x_dist=_log_dist(X, state.X),
-                l1_dist=_log_dist(l1, state.lambda1),
-                l2_dist=_log_dist(l2, state.lambda2),
-                dip_iters=dip_iters,
-                dip_loss=dip_loss,
-                U=U,
-                phi_scatter=scatter_blocks(phi, grid) / grid.weight(),
-            )
-            new_state = SolverState(X=X, lambda1=l1, lambda2=l2, key=key, itr=state.itr + 1)
-            return new_state, aux
-
-        return step
-
-    # ------------------------------------------------------------------
     def step(self, state: SolverState):
-        return self._step(state)
+        return self._step(state, self.consts)
 
     def run(
         self,
@@ -227,7 +263,6 @@ class Solver:
         hist["best_X"] = best[1]
         return state, hist
 
-    # ------------------------------------------------------------------
     def result_cube(self, state: SolverState) -> np.ndarray:
         return np.asarray(state.X).reshape(self.height, self.width, self.n_bands)
 

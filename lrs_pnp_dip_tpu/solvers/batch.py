@@ -1,0 +1,83 @@
+"""Batched recovery: many (image, mask) problems advancing in lockstep.
+
+The reference processes its 5 images x 4 masks by manually editing paths
+and re-running scripts (``main_LRS_PnP.py:170-183``).  Here the whole
+outer ADMM step — including each problem's fresh-net DIP training loop —
+is ``vmap``-ped over a leading sample axis, so one compiled step advances
+every problem at once; per-sample DIP early stopping is handled by the
+``while_loop``-under-``vmap`` lowering (finished lanes idle until the
+slowest lane stops).  On a mesh, the sample axis shards over ``data``
+(see :mod:`..parallel`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.io import HsiSample
+from ..utils.config import SolverConfig
+from .admm import ProblemConsts, SolverState, build_step, init_state, make_consts
+
+
+def stack_consts(consts: Sequence[ProblemConsts]) -> ProblemConsts:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *consts)
+
+
+def stack_states(states: Sequence[SolverState]) -> SolverState:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+class BatchedSolver:
+    """Solve N same-shaped problems in one vmapped engine."""
+
+    def __init__(
+        self,
+        samples: Sequence[HsiSample],
+        dictionary: np.ndarray,
+        config: SolverConfig,
+        net=None,
+        jit_step: bool = True,
+    ):
+        shapes = {s.shape for s in samples}
+        if len(shapes) != 1:
+            raise ValueError(f"all samples must share a shape, got {shapes}")
+        self.samples = list(samples)
+        self.config = config
+        self.shape = self.samples[0].shape
+        self.consts = stack_consts(
+            [make_consts(s, dictionary, config) for s in samples]
+        )
+        step = build_step(config, self.shape, net=net)
+        vstep = jax.vmap(step, in_axes=(0, 0))
+        self._step = jax.jit(vstep) if jit_step else vstep
+
+    def init_state(self, seed: Optional[int] = None) -> SolverState:
+        seed = self.config.seed if seed is None else seed
+        return stack_states(
+            [init_state(s, seed + i) for i, s in enumerate(self.samples)]
+        )
+
+    def step(self, state: SolverState):
+        return self._step(state, self.consts)
+
+    def run(self, n_iters: Optional[int] = None, state=None, callback=None):
+        n = self.config.outer_iters if n_iters is None else n_iters
+        state = self.init_state() if state is None else state
+        hist = {k: [] for k in ("mpsnr", "ssim", "dip_iters")}
+        for i in range(n):
+            state, aux = self.step(state)
+            for k in hist:
+                hist[k].append(np.asarray(getattr(aux, k)))
+            if callback is not None:
+                callback(i, state, aux)
+        for k in list(hist):
+            hist[k] = np.stack(hist[k])  # (n_iters, n_samples)
+        return state, hist
+
+    def result_cubes(self, state: SolverState) -> np.ndarray:
+        h, w, b = self.shape
+        return np.asarray(state.X).reshape(-1, h, w, b)

@@ -2,7 +2,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from lrs_pnp_dip_tpu.ops.nlm import nlm2d, nlm_column, nlm_column_batch
+from lrs_pnp_dip_tpu.ops.nlm import (
+    nlm2d,
+    nlm_column,
+    nlm_column_batch,
+    nlm_column_batch_fast,
+)
 from reference_oracles import oracle_nlm2d
 
 
@@ -33,6 +38,19 @@ def test_nlm_large_h_smooths(rng):
     v = rng.random(64).astype(np.float32)
     out = np.asarray(nlm_column(jnp.asarray(v), 100.0))
     assert np.var(out) < 0.5 * np.var(v)
+
+
+def test_nlm_fast_column_matches_general(rng):
+    """The hot-path 1-D specialisation must equal the general 2-D pairwise
+    kernel on (K,1) inputs, across bandwidths and values."""
+    for h in (1e-6, 0.01, 0.2, 5.0):
+        V = rng.random((7, 50)).astype(np.float32)
+        # include identical-neighbourhood structure to exercise weights
+        V[2, 10:20] = V[2, 9]
+        hs = jnp.full((7,), h, jnp.float32)
+        fast = np.asarray(nlm_column_batch_fast(jnp.asarray(V), hs))
+        ref = np.asarray(nlm_column_batch(jnp.asarray(V), hs))
+        np.testing.assert_allclose(fast, ref, rtol=3e-5, atol=3e-6)
 
 
 def test_nlm_batch_matches_single(rng):
