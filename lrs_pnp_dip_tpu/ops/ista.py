@@ -60,6 +60,9 @@ class SparseProxConfig:
     power_iters: int = 50  # for alpha_mode == "specnorm"
     patch_size: int = 3
     patch_distance: int = 3
+    backend: Literal["auto", "xla", "pallas"] = "auto"
+    # 'pallas' fuses the whole ISTA scan into one VMEM-resident kernel
+    # (TPU only); 'auto' picks pallas on TPU, xla elsewhere.
 
 
 def _alpha_trace4(D: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
@@ -120,6 +123,19 @@ def pnp_ista_blocks(
     return x
 
 
+def _use_pallas(cfg: SparseProxConfig) -> bool:
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend == "xla":
+        return False
+    import jax
+
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
 def sparse_prox(
     blocks: jnp.ndarray,
     mask_blocks: jnp.ndarray,
@@ -131,5 +147,10 @@ def sparse_prox(
 
     Returns reconstructed blocks (nB, P).
     """
-    coefs = pnp_ista_blocks(blocks, mask_blocks, D, cfg)
+    if _use_pallas(cfg):
+        from .ista_pallas import pnp_ista_blocks_pallas
+
+        coefs = pnp_ista_blocks_pallas(blocks, mask_blocks, D, cfg)
+    else:
+        coefs = pnp_ista_blocks(blocks, mask_blocks, D, cfg)
     return coefs @ D.T

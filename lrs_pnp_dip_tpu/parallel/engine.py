@@ -47,6 +47,16 @@ class ShardedSolver:
         use_collective_svt: bool = True,
     ):
         self.mesh = mesh
+        import dataclasses as _dc
+
+        if config.sparse.backend == "auto" and mesh.devices.size > 1:
+            # The fused Pallas ISTA kernel is a single-device kernel; under
+            # GSPMD partitioning the XLA scan path partitions cleanly over
+            # the patch axis instead.  (A shard_map-wrapped kernel variant
+            # can replace this later.)
+            config = _dc.replace(
+                config, sparse=_dc.replace(config.sparse, backend="xla")
+            )
         self.config = config
         self.batched = not isinstance(samples, HsiSample)
         samples_list = list(samples) if self.batched else [samples]

@@ -1,0 +1,43 @@
+"""Pin the fused Pallas ISTA kernel against the XLA scan path.
+
+Runs in interpreter mode on CPU (the Mosaic compiler path is exercised on
+real TPU by bench.py and the driver's compile checks).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lrs_pnp_dip_tpu.ops.ista import SparseProxConfig, pnp_ista_blocks
+from lrs_pnp_dip_tpu.ops.ista_pallas import pnp_ista_blocks_pallas
+
+
+def _problem(rng, P=48, K=32, nB=5):
+    D = rng.standard_normal((P, K)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=0, keepdims=True)
+    Y = rng.standard_normal((nB, P)).astype(np.float32)
+    M = (rng.random((nB, P)) > 0.12).astype(np.float32)
+    return jnp.asarray(Y), jnp.asarray(M), jnp.asarray(D)
+
+
+def test_pallas_matches_xla_trace4(rng):
+    Y, M, D = _problem(rng)
+    cfg = SparseProxConfig(n_iter=15, alpha_mode="trace4")
+    ref = np.asarray(pnp_ista_blocks(Y, M, D, cfg))
+    pal = np.asarray(pnp_ista_blocks_pallas(Y, M, D, cfg, interpret=True))
+    np.testing.assert_allclose(pal, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_matches_xla_specnorm(rng):
+    Y, M, D = _problem(rng, nB=3)
+    cfg = SparseProxConfig(n_iter=8, alpha_mode="specnorm", h_scale=0.1)
+    ref = np.asarray(pnp_ista_blocks(Y, M, D, cfg))
+    pal = np.asarray(pnp_ista_blocks_pallas(Y, M, D, cfg, interpret=True))
+    np.testing.assert_allclose(pal, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_handles_nonmultiple_of_8_blocks(rng):
+    Y, M, D = _problem(rng, nB=13)  # forces sublane padding
+    cfg = SparseProxConfig(n_iter=5)
+    ref = np.asarray(pnp_ista_blocks(Y, M, D, cfg))
+    pal = np.asarray(pnp_ista_blocks_pallas(Y, M, D, cfg, interpret=True))
+    np.testing.assert_allclose(pal, ref, rtol=1e-4, atol=1e-6)
