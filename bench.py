@@ -64,10 +64,11 @@ def main():
         sample = synthetic_sample(36, 36, 128, missing=0.05)
     Y = np.asarray(matricize(sample.noisy), np.float32)
     D = random_dictionary(36 * 36, 512, seed=0)
-    cfg = SparseProxConfig(n_iter=100, alpha_mode="trace4")
     grid = block_grid(Y.shape, 36, 36)
 
     def bench_on(device):
+        backend = "pallas" if device.platform not in ("cpu", "gpu") else "xla"
+        cfg = SparseProxConfig(n_iter=100, alpha_mode="trace4", backend=backend)
         Yd = jax.device_put(jnp.asarray(Y), device)
         Dd = jax.device_put(jnp.asarray(D), device)
         blocks = extract_blocks(Yd, grid)
@@ -76,9 +77,10 @@ def main():
         t = _time_fn(fn, blocks, mask_blocks, Dd, warmup=1, iters=iters)
         return t
 
+    n_ista_iters = 100
     main_dev = jax.devices()[0]
     t_main = bench_on(main_dev)
-    block_iters_per_sec = grid.n_blocks * cfg.n_iter / t_main
+    block_iters_per_sec = grid.n_blocks * n_ista_iters / t_main
     print(
         f"[bench] sparse prox on {main_dev.platform}: {t_main*1e3:.2f} ms "
         f"({block_iters_per_sec:,.0f} block-ISTA iters/s)",
