@@ -94,6 +94,23 @@ def extract_training_patches(
     return np.stack(cols, axis=1)
 
 
+def load_trained_dictionary(n_atoms: int = 512) -> np.ndarray:
+    """Load the shipped dictionary artifact (trained by
+    ``scripts/train_dictionary.py`` — the reference's learned dictionary is
+    a missing git-LFS blob, so the framework ships its own)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "artifacts",
+        f"dictionary_36x36_k{n_atoms}.npz",
+    )
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} not found — run scripts/train_dictionary.py --atoms {n_atoms}"
+        )
+    return np.load(path)["dictionary"]
+
+
 def learn_dictionary(
     patches: np.ndarray,
     n_atoms: int = 512,

@@ -1,0 +1,99 @@
+"""Run a solver variant on a reference image and report MPSNR/MSSIM.
+
+The framework's equivalent of the reference's three entry-point scripts
+(``main_LRS_PnP.py`` / ``main_LRS_PnP_DIP_pro.py`` /
+``main_LRS_PnP_DIP_1-LiP.py``), with a real CLI instead of hard-coded
+paths.
+
+Usage:
+  python scripts/run_reference.py --variant dip --image img1 --mask mask1 \
+      --iters 40 [--log out.jsonl] [--panels results_dir]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", choices=["lrs_pnp", "dip", "dip_1lip"], default="dip")
+    ap.add_argument("--image", default="img1")
+    ap.add_argument("--mask", default="mask1")
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--atoms", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log", default=None, help="jsonl metrics output")
+    ap.add_argument("--panels", default=None, help="dir for per-iter PNG panels")
+    ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from lrs_pnp_dip_tpu.data.dictionary import load_trained_dictionary
+    from lrs_pnp_dip_tpu.data.io import load_reference_sample
+    from lrs_pnp_dip_tpu.ops.metrics import mpsnr
+    from lrs_pnp_dip_tpu.ops.ssim import ssim
+    from lrs_pnp_dip_tpu.solvers import Solver
+    from lrs_pnp_dip_tpu.utils.config import PRESETS
+
+    sample = load_reference_sample(args.image, args.mask)
+    D = load_trained_dictionary(args.atoms)
+    cfg = PRESETS[args.variant](seed=args.seed)
+
+    inp_mpsnr = float(mpsnr(jnp.asarray(sample.clean), jnp.asarray(sample.noisy)))
+    inp_ssim = float(ssim(jnp.asarray(sample.clean), jnp.asarray(sample.noisy)))
+    print(f"{sample.name}: input MPSNR {inp_mpsnr:.3f}  MSSIM {inp_ssim:.4f}")
+
+    solver = Solver(sample, D, cfg)
+    logf = open(args.log, "a") if args.log else None
+    panels = None
+    if args.panels:
+        from lrs_pnp_dip_tpu.utils.viz import save_iteration_panel
+
+        os.makedirs(args.panels, exist_ok=True)
+        panels = args.panels
+
+    t_start = time.time()
+    last = {"t": t_start}
+
+    def cb(i, state, aux):
+        now = time.time()
+        rec = {
+            "iter": i,
+            "mpsnr": float(aux.mpsnr),
+            "ssim": float(aux.ssim),
+            "dip_iters": int(aux.dip_iters),
+            "sec": round(now - last["t"], 3),
+        }
+        last["t"] = now
+        print(
+            f"iter {i:3d}  MPSNR {rec['mpsnr']:.3f}  MSSIM {rec['ssim']:.4f}  "
+            f"dip_iters {rec['dip_iters']:4d}  {rec['sec']:.2f}s"
+        )
+        if logf:
+            logf.write(json.dumps(rec) + "\n")
+            logf.flush()
+        if panels:
+            save_iteration_panel(
+                os.path.join(panels, f"{i}.png"), sample, solver, state, aux
+            )
+
+    state, hist = solver.run(n_iters=args.iters, callback=cb)
+    dt = time.time() - t_start
+    print(
+        f"done in {dt:.1f}s: final MPSNR {hist['mpsnr'][-1]:.3f} "
+        f"(best {hist['best_mpsnr']:.3f})  MSSIM {hist['ssim'][-1]:.4f}"
+    )
+    if logf:
+        logf.close()
+
+
+if __name__ == "__main__":
+    main()
