@@ -11,14 +11,17 @@ Usage:
 """
 
 import argparse
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps stacks
 
 
 def main():
