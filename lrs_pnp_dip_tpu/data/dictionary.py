@@ -111,6 +111,35 @@ def load_trained_dictionary(n_atoms: int = 512) -> np.ndarray:
     return np.load(path)["dictionary"]
 
 
+@functools.partial(jax.jit, static_argnames=("sparse_iters",))
+def _aksvd_step(Y, D, lam, sparse_iters: int):
+    """One approximate-K-SVD sweep (Rubinstein-style): sparse-code, then
+    update every atom (and its coefficient row) against the residual,
+    sequentially in a ``fori_loop``."""
+    Z = _ista_code(Y, D, lam, sparse_iters)  # (K, N)
+    R = Y - D @ Z  # residual, maintained incrementally
+
+    def update_atom(k, carry):
+        D, Z, R = carry
+        d = jax.lax.dynamic_slice_in_dim(D, k, 1, axis=1)[:, 0]  # (P,)
+        g = jax.lax.dynamic_slice_in_dim(Z, k, 1, axis=0)[0]  # (N,)
+        # E_k = R + d g^T ;  d_new ∝ E_k g
+        d_new = R @ g + d * jnp.dot(g, g)
+        norm = jnp.linalg.norm(d_new)
+        d_new = jnp.where(norm > 1e-8, d_new / jnp.maximum(norm, 1e-8), d)
+        g_new = R.T @ d_new + g * jnp.dot(d, d_new)
+        # keep the support of the sparse code (classic K-SVD updates only
+        # coefficients that were already nonzero)
+        g_new = jnp.where(g != 0, g_new, 0.0)
+        R = R + jnp.outer(d, g) - jnp.outer(d_new, g_new)
+        D = jax.lax.dynamic_update_slice_in_dim(D, d_new[:, None], k, axis=1)
+        Z = jax.lax.dynamic_update_slice_in_dim(Z, g_new[None, :], k, axis=0)
+        return D, Z, R
+
+    D, Z, R = jax.lax.fori_loop(0, D.shape[1], update_atom, (D, Z, R))
+    return column_normalize(D)
+
+
 def learn_dictionary(
     patches: np.ndarray,
     n_atoms: int = 512,
@@ -118,8 +147,14 @@ def learn_dictionary(
     n_outer: int = 20,
     sparse_iters: int = 30,
     seed: int = 0,
+    method: str = "mod",
 ) -> np.ndarray:
-    """Learn a (patch_dim, n_atoms) dictionary from (patch_dim, N) patches."""
+    """Learn a (patch_dim, n_atoms) dictionary from (patch_dim, N) patches.
+
+    ``method``: 'mod' (method of optimal directions; fast, batched) or
+    'ksvd' (approximate K-SVD; per-atom rank-1 updates, the algorithm
+    family the reference's MATLAB-era dictionary came from).
+    """
     patches = jnp.asarray(patches, dtype=jnp.float32)
     patch_dim, n = patches.shape
     rng = np.random.default_rng(seed)
@@ -127,6 +162,7 @@ def learn_dictionary(
     init_idx = rng.choice(n, size=n_atoms, replace=n < n_atoms)
     D = column_normalize(patches[:, init_idx] + 1e-3 * jnp.asarray(
         rng.standard_normal((patch_dim, n_atoms)), dtype=jnp.float32))
+    step = _mod_step if method == "mod" else _aksvd_step
     for _ in range(n_outer):
-        D = _mod_step(patches, D, lam, sparse_iters)
+        D = step(patches, D, lam, sparse_iters)
     return np.asarray(D)

@@ -102,6 +102,7 @@ def pnp_ista_blocks_pallas(
     D: jnp.ndarray,
     cfg,
     interpret: bool = False,
+    vmem_budget: int = 12 * 1024 * 1024,
 ) -> jnp.ndarray:
     """Drop-in replacement for :func:`..ista.pnp_ista_blocks` running the
     whole scan in one Pallas invocation.  Returns coefficients (nB, K)."""
@@ -134,11 +135,35 @@ def pnp_ista_blocks_pallas(
 
     kernel = functools.partial(_ista_kernel, n_iter=cfg.n_iter)
     flops_per_iter = 4 * nBp * P * K
+
+    # Tile the block axis when the working set would overflow VMEM
+    # (~16 MB/core): each grid step keeps one block-tile plus the full
+    # dictionary resident and runs the complete iteration count for it.
+    bytes_per_block = (2 * P + 2 * K + 10) * 4  # Ym, M, x, g rows
+    dict_bytes = P * K * 4
+    max_tile = max(8, (vmem_budget - 2 * dict_bytes) // max(bytes_per_block * 3, 1))
+    if nBp <= max_tile:
+        tile = nBp
+    else:
+        tile = max(8, (max_tile // 8) * 8)
+        pad_tile = (-nBp) % tile
+        if pad_tile:
+            Y = jnp.pad(Y, ((0, pad_tile), (0, 0)))
+            M = jnp.pad(M, ((0, pad_tile), (0, 0)))
+            alpha = jnp.pad(alpha, (0, pad_tile), constant_values=1.0)
+            h2s2 = jnp.pad(h2s2, (0, pad_tile), constant_values=1.0)
+        nBp = nBp + pad_tile
+    grid = (nBp // tile,)
+
+    row_spec = pl.BlockSpec((tile, P), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dict_spec = pl.BlockSpec((P, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
     coefs = pl.pallas_call(
         kernel,
+        grid=grid,
         out_shape=jax.ShapeDtypeStruct((nBp, K), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[row_spec, row_spec, dict_spec, vec_spec, vec_spec],
+        out_specs=pl.BlockSpec((tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_iter * cfg.n_iter,
             bytes_accessed=(2 * nBp * P + P * K + 2 * nBp * K) * 4,

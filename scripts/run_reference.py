@@ -37,12 +37,8 @@ def main():
     ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
     args = ap.parse_args()
 
-    import jax.numpy as jnp
-
     from lrs_pnp_dip_tpu.data.dictionary import load_trained_dictionary
     from lrs_pnp_dip_tpu.data.io import load_reference_sample
-    from lrs_pnp_dip_tpu.ops.metrics import mpsnr
-    from lrs_pnp_dip_tpu.ops.ssim import ssim
     from lrs_pnp_dip_tpu.solvers import Solver
     from lrs_pnp_dip_tpu.utils.config import PRESETS
 
@@ -50,11 +46,22 @@ def main():
     D = load_trained_dictionary(args.atoms)
     cfg = PRESETS[args.variant](seed=args.seed)
 
-    inp_mpsnr = float(mpsnr(jnp.asarray(sample.clean), jnp.asarray(sample.noisy)))
-    inp_ssim = float(ssim(jnp.asarray(sample.clean), jnp.asarray(sample.noisy)))
-    print(f"{sample.name}: input MPSNR {inp_mpsnr:.3f}  MSSIM {inp_ssim:.4f}")
+    # input metrics on host (numpy) — keeps the device path to one program
+    c, n = sample.clean.astype(np.float64), sample.noisy.astype(np.float64)
+    band_mse = ((c - n) ** 2).mean(axis=(0, 1))
+    inp_mpsnr = float(np.mean(10 * np.log10(255.0 / np.sqrt(band_mse))))
+    print(f"{sample.name}: input MPSNR {inp_mpsnr:.3f}")
 
     solver = Solver(sample, D, cfg)
+    ckpt = None
+    start_state = None
+    if args.checkpoint:
+        from lrs_pnp_dip_tpu.utils.checkpoint import SolverCheckpointer
+
+        ckpt = SolverCheckpointer(args.checkpoint)
+        start_state = ckpt.restore()
+        if start_state is not None:
+            print(f"resumed from iteration {int(start_state.itr)}")
     logf = open(args.log, "a") if args.log else None
     panels = None
     if args.panels:
@@ -87,8 +94,10 @@ def main():
             save_iteration_panel(
                 os.path.join(panels, f"{i}.png"), sample, solver, state, aux
             )
+        if ckpt is not None:
+            ckpt.save(int(state.itr), state)
 
-    state, hist = solver.run(n_iters=args.iters, callback=cb)
+    state, hist = solver.run(n_iters=args.iters, state=start_state, callback=cb)
     dt = time.time() - t_start
     print(
         f"done in {dt:.1f}s: final MPSNR {hist['mpsnr'][-1]:.3f} "

@@ -41,3 +41,17 @@ def test_pallas_handles_nonmultiple_of_8_blocks(rng):
     ref = np.asarray(pnp_ista_blocks(Y, M, D, cfg))
     pal = np.asarray(pnp_ista_blocks_pallas(Y, M, D, cfg, interpret=True))
     np.testing.assert_allclose(pal, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_tiled_grid_large_block_count(rng):
+    """A small VMEM budget must force multi-tile grids without changing
+    results (tile-boundary exactness, incl. a padded final tile)."""
+    Y, M, D = _problem(rng, P=64, K=32, nB=40)
+    cfg = SparseProxConfig(n_iter=4)
+    ref = np.asarray(pnp_ista_blocks(Y, M, D, cfg))
+    # budget that fits the dictionary plus only a few blocks per tile
+    tiny_budget = 2 * 64 * 32 * 4 + 3 * (2 * 64 + 2 * 32 + 10) * 4 * 16
+    pal = np.asarray(
+        pnp_ista_blocks_pallas(Y, M, D, cfg, interpret=True, vmem_budget=tiny_budget)
+    )
+    np.testing.assert_allclose(pal, ref, rtol=1e-4, atol=1e-6)
