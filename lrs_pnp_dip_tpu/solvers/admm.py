@@ -89,6 +89,11 @@ def _log_dist(a, b):
     return jnp.log(jnp.linalg.norm(a - b))
 
 
+class SolverDiverged(RuntimeError):
+    """Raised when the iterate goes non-finite (failure detection — the
+    reference had none and would silently produce NaN figures)."""
+
+
 def default_net(config: SolverConfig, n_bands: int):
     if config.variant == "dip":
         return dip_skip_128(num_channels=n_bands)
@@ -255,6 +260,14 @@ class Solver:
             state, aux = self.step(state)
             for k in hist:
                 hist[k].append(float(getattr(aux, k)))
+            # failure detection: x_dist is log||dX||; NaN/Inf means the
+            # iterate went non-finite somewhere in the step
+            if np.isnan(hist["x_dist"][-1]) or hist["x_dist"][-1] == np.inf:
+                raise SolverDiverged(
+                    f"non-finite iterate at outer iteration {i} "
+                    f"(variant={self.config.variant}); last finite MPSNR "
+                    f"{best[0]:.3f} — checkpoint and inspect duals/step sizes"
+                )
             if hist["mpsnr"][-1] > best[0]:
                 best = (hist["mpsnr"][-1], np.asarray(state.X))
             if callback is not None:
