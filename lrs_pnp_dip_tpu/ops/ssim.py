@@ -78,3 +78,51 @@ def ssim(
     if size_average:
         return jnp.mean(ssim_map)
     return jnp.mean(ssim_map, axis=(1, 2, 3))
+
+
+def ssim_matlab(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    border: tuple = (0, 0),
+    L: float = 255.0,
+    window_size: int = 11,
+) -> jnp.ndarray:
+    """The MATLAB twin's SSIM (reference ``cal_ssim.m`` wrapping Zhou
+    Wang's ``ssim_index``): optional border crop, VALID (un-padded)
+    gaussian filtering, dynamic range ``L``, per-channel SSIMs summed and
+    divided by 3 — the reference divides by 3 regardless of the actual
+    channel count (kept faithfully; pass 3-channel inputs for the sane
+    interpretation).  Single-channel input returns the plain index.
+
+    Inputs: (H, W) or (H, W, C) cubes.
+    """
+    if img1.ndim == 2:
+        img1 = img1[..., None]
+        img2 = img2[..., None]
+    b_row, b_col = border
+    h, w, _ = img1.shape
+    img1 = img1[b_row : h - b_row if b_row else h, b_col : w - b_col if b_col else w, :]
+    img2 = img2[b_row : h - b_row if b_row else h, b_col : w - b_col if b_col else w, :]
+    c = img1.shape[-1]
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1
+    )[None]
+    w2d = jnp.asarray(_gaussian_window(window_size))
+    kernel = jnp.tile(w2d[:, :, None, None], (1, 1, 1, 5 * c))
+    f = jax.lax.conv_general_dilated(
+        stacked, kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=5 * c,
+    )[0]
+    mu1, mu2 = f[..., :c], f[..., c : 2 * c]
+    s11 = f[..., 2 * c : 3 * c] - mu1 * mu1
+    s22 = f[..., 3 * c : 4 * c] - mu2 * mu2
+    s12 = f[..., 4 * c :] - mu1 * mu2
+    C1, C2 = (0.01 * L) ** 2, (0.03 * L) ** 2
+    smap = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
+        (mu1 * mu1 + mu2 * mu2 + C1) * (s11 + s22 + C2)
+    )
+    per_channel = jnp.mean(smap, axis=(0, 1))  # per-channel mssim
+    if c == 1:
+        return per_channel[0]
+    return jnp.sum(per_channel) / 3.0

@@ -51,6 +51,43 @@ def test_ssim_range_and_identity(rng):
     assert -1.0 <= v <= 1.0
 
 
+def test_ssim_matlab_against_numpy_oracle(rng):
+    """Wang ssim_index semantics: VALID gaussian windows, L=255, /3 quirk."""
+    from scipy.signal import convolve2d
+
+    from lrs_pnp_dip_tpu.ops.ssim import ssim_matlab
+
+    a = (rng.random((20, 20)) * 255).astype(np.float32)
+    b = (a + 12 * rng.standard_normal((20, 20))).astype(np.float32)
+
+    x = np.arange(11, dtype=np.float64)
+    g = np.exp(-((x - 5) ** 2) / (2 * 1.5**2)); g /= g.sum()
+    w = np.outer(g, g)
+
+    def filt(im):
+        return convolve2d(im.astype(np.float64), w, mode="valid")
+
+    mu1, mu2 = filt(a), filt(b)
+    s11 = filt(a * a) - mu1**2
+    s22 = filt(b * b) - mu2**2
+    s12 = filt(a * b) - mu1 * mu2
+    C1, C2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    smap = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
+        (mu1**2 + mu2**2 + C1) * (s11 + s22 + C2)
+    )
+    expect = smap.mean()
+    ours = float(ssim_matlab(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, expect, rtol=1e-4)
+    # 3-channel: sum/3 equals channel mean
+    a3 = np.stack([a, a, a], -1)
+    b3 = np.stack([b, b, b], -1)
+    ours3 = float(ssim_matlab(jnp.asarray(a3), jnp.asarray(b3)))
+    np.testing.assert_allclose(ours3, expect, rtol=1e-4)
+    # border crop changes the map extent
+    cropped = float(ssim_matlab(jnp.asarray(a), jnp.asarray(b), border=(3, 3)))
+    assert cropped != ours
+
+
 def test_ssim_matches_torch_oracle(rng):
     """Pin against an independent torch implementation of the same formula
     (11x11 gaussian sigma 1.5, zero-padded depthwise conv, C1/C2 std)."""
