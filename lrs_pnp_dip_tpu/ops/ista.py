@@ -118,7 +118,9 @@ def pnp_ista_blocks(
         x = nlm_column_batch_fast(grad, h)
         return x, None
 
-    x0 = jnp.zeros((nB, K), jnp.float32)
+    # derive the zero init from a (possibly device-varying) input so the
+    # scan carry type matches under shard_map's varying-axis tracking
+    x0 = jnp.zeros((nB, K), jnp.float32) + 0.0 * alpha[:, None]
     x, _ = jax.lax.scan(body, x0, None, length=cfg.n_iter)
     return x
 

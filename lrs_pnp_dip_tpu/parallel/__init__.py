@@ -1,6 +1,11 @@
 from .mesh import make_mesh, mesh_axis_sizes
 from .sharding import consts_sharding, replicate, state_sharding
-from .collectives import distributed_gram, distributed_svt, make_distributed_svt
+from .collectives import (
+    distributed_gram,
+    distributed_svt,
+    make_distributed_svt,
+    make_sharded_sparse_prox,
+)
 from .engine import ShardedSolver
 
 __all__ = [
@@ -12,5 +17,6 @@ __all__ = [
     "distributed_gram",
     "distributed_svt",
     "make_distributed_svt",
+    "make_sharded_sparse_prox",
     "ShardedSolver",
 ]

@@ -42,6 +42,47 @@ def distributed_svt(X_local: jnp.ndarray, tau, axis: str) -> jnp.ndarray:
     return _svt_from_gram(X_local, G, tau)
 
 
+def make_sharded_sparse_prox(mesh: Mesh, cfg, axis: str = "patch") -> Callable:
+    """Sparse-coding prox as an explicit shard_map over the block axis.
+
+    Each shard runs the complete per-block PnP-ISTA (the fused Pallas
+    kernel on TPU, the XLA scan elsewhere) on its local blocks — the
+    embarrassingly-parallel axis the MATLAB twin covered with ``parfor``
+    (``main_LRS_PnP.m:100``).  No collectives are needed inside; the
+    dictionary is replicated.  Blocks are padded to a multiple of the
+    shard count with fully-masked rows (which produce zero coefficients)
+    and the padding is sliced away afterwards.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..ops.ista import sparse_prox
+
+    n_shards = mesh.shape[axis]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P()),
+        out_specs=P(axis, None),
+    )
+    def _local(blocks, mask_blocks, D):
+        return sparse_prox(blocks, mask_blocks, D, cfg)
+
+    def prox(blocks, mask_blocks, D):
+        nB = blocks.shape[0]
+        pad = (-nB) % n_shards
+        if pad:
+            blocks = jnp.pad(blocks, ((0, pad), (0, 0)))
+            mask_blocks = jnp.pad(mask_blocks, ((0, pad), (0, 0)))
+        out = _local(blocks, mask_blocks, D)
+        return out[:nB]
+
+    return prox
+
+
 def make_distributed_svt(mesh: Mesh, axis: str = "patch") -> Callable:
     """A drop-in replacement for ``ops.svt.svt_gram`` that runs as a
     shard_map over ``mesh``: X rows sharded on ``axis``, result sharded the

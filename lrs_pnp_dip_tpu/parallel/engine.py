@@ -30,7 +30,7 @@ from ..solvers.admm import (
 )
 from ..solvers.batch import stack_consts, stack_states
 from ..utils.config import SolverConfig
-from .collectives import make_distributed_svt
+from .collectives import make_distributed_svt, make_sharded_sparse_prox
 from .sharding import aux_sharding, consts_sharding, state_sharding
 
 
@@ -47,16 +47,6 @@ class ShardedSolver:
         use_collective_svt: bool = True,
     ):
         self.mesh = mesh
-        import dataclasses as _dc
-
-        if config.sparse.backend == "auto" and mesh.devices.size > 1:
-            # The fused Pallas ISTA kernel is a single-device kernel; under
-            # GSPMD partitioning the XLA scan path partitions cleanly over
-            # the patch axis instead.  (A shard_map-wrapped kernel variant
-            # can replace this later.)
-            config = _dc.replace(
-                config, sparse=_dc.replace(config.sparse, backend="xla")
-            )
         self.config = config
         self.batched = not isinstance(samples, HsiSample)
         samples_list = list(samples) if self.batched else [samples]
@@ -64,15 +54,27 @@ class ShardedSolver:
         self.shape = samples_list[0].shape
 
         svt_fn = None
-        if (
-            use_collective_svt
-            and config.variant == "lrs_pnp"
-            and not self.batched
-            and "patch" in mesh.axis_names
-        ):
-            svt_fn = make_distributed_svt(mesh, "patch")
+        sparse_prox_fn = None
+        if not self.batched and "patch" in mesh.axis_names:
+            if use_collective_svt and config.variant == "lrs_pnp":
+                svt_fn = make_distributed_svt(mesh, "patch")
+            # explicit shard_map over the block axis — lets each shard run
+            # the fused Pallas kernel on TPU instead of relying on GSPMD
+            # to partition the scan
+            sparse_prox_fn = make_sharded_sparse_prox(mesh, config.sparse, "patch")
+        else:
+            # under vmap, use the XLA scan path and let GSPMD partition it
+            import dataclasses as _dc
 
-        step = build_step(config, self.shape, net=net, svt_fn=svt_fn)
+            if config.sparse.backend == "auto":
+                config = _dc.replace(
+                    config, sparse=_dc.replace(config.sparse, backend="xla")
+                )
+                self.config = config
+
+        step = build_step(
+            config, self.shape, net=net, svt_fn=svt_fn, sparse_prox_fn=sparse_prox_fn
+        )
         if self.batched:
             step = jax.vmap(step, in_axes=(0, 0))
             consts = stack_consts(

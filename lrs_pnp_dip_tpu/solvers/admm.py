@@ -112,11 +112,13 @@ def build_step(
     image_shape: tuple,  # (H, W, B)
     net=None,
     svt_fn: Optional[Callable] = None,
+    sparse_prox_fn: Optional[Callable] = None,
 ) -> Callable[[SolverState, ProblemConsts], tuple]:
     """Build the pure outer-step function for one problem geometry.
 
-    ``svt_fn(Z, tau)`` may be overridden (e.g. with the distributed
-    Gram-psum SVT from :mod:`..parallel.collectives`).
+    ``svt_fn(Z, tau)`` and ``sparse_prox_fn(blocks, mask_blocks, D)`` may
+    be overridden (e.g. with the distributed Gram-psum SVT / shard_map
+    sparse prox from :mod:`..parallel.collectives`).
     """
     h, w, b = image_shape
     grid = block_grid((h * w, b), config.block_size, config.stride)
@@ -127,6 +129,8 @@ def build_step(
     elif cfg.variant != "lrs_pnp":
         raise ValueError(f"unknown variant {cfg.variant!r}")
     svt_fn = svt_fn or svt_gram
+    if sparse_prox_fn is None:
+        sparse_prox_fn = lambda b, m, d: sparse_prox(b, m, d, cfg.sparse)
 
     def u_update(X, lambda2, key, consts: ProblemConsts):
         Z = X + lambda2 / cfg.mu2
@@ -141,7 +145,7 @@ def build_step(
         key, dip_key = jax.random.split(state.key)
         # 1. sparse-coding prox over blocks
         blocks = extract_blocks(state.X + state.lambda1 / cfg.mu1, grid)
-        phi = sparse_prox(blocks, consts.mask_blocks, consts.D, cfg.sparse)
+        phi = sparse_prox_fn(blocks, consts.mask_blocks, consts.D)
         # 2. low-rank / DIP prox
         U, dip_iters, dip_loss = u_update(state.X, state.lambda2, dip_key, consts)
         # 3. closed-form X
