@@ -33,13 +33,18 @@ from .early_stop import EarlyStopState, init_early_stop, update_early_stop
 
 @dataclasses.dataclass(frozen=True)
 class DipConfig:
-    """DIP training hyper-parameters (reference defaults)."""
+    """DIP training hyper-parameters (reference defaults).
+
+    ``compute_dtype='bfloat16'`` enables mixed precision: forward/backward
+    in bf16 on the MXU, master params + Adam state + loss in f32.
+    """
 
     num_iter: int = 5000
     learning_rate: float = 0.1
     show_every: int = 1
     buffer_size: int = 30
     patience: int = 60
+    compute_dtype: str = "float32"
 
 
 class DipResult(NamedTuple):
@@ -66,13 +71,18 @@ def make_dip_fit(model: nn.Module, cfg: DipConfig = DipConfig()):
     (the observation mask; loss is computed on observed pixels only).
     """
     opt = optax.adam(cfg.learning_rate)
+    cdtype = jnp.dtype(cfg.compute_dtype)
 
     def loss_fn(params, model_state, dip_input, target, mask):
+        if cdtype != jnp.float32:
+            params = jax.tree.map(lambda p: p.astype(cdtype), params)
+            dip_input = dip_input.astype(cdtype)
         variables = {"params": params, **model_state}
         if model_state:
             out, new_state = model.apply(variables, dip_input, mutable=list(model_state))
         else:
             out, new_state = model.apply(variables, dip_input), {}
+        out = out.astype(jnp.float32)
         loss = jnp.mean((target * mask - out * mask) ** 2)
         return loss, (out, new_state)
 

@@ -75,6 +75,20 @@ def test_dip_fresh_init_differs():
     assert not np.allclose(np.asarray(r1.out), np.asarray(r2.out))
 
 
+def test_dip_fit_bfloat16_mixed_precision():
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.random((1, 16, 16, 4)).astype(np.float32))
+    mask = jnp.ones((1, 16, 16, 1), jnp.float32)
+    inp = jnp.asarray(rng.random((1, 16, 16, 4)).astype(np.float32))
+    cfg = DipConfig(num_iter=150, learning_rate=0.05, buffer_size=10,
+                    patience=1000, compute_dtype="bfloat16")
+    res = jax.jit(make_dip_fit(_tiny_net(4), cfg))(
+        jax.random.PRNGKey(0), inp, target, mask
+    )
+    assert res.out.dtype == jnp.float32
+    assert float(res.loss) < 0.03  # bf16 still fits the target
+
+
 def test_standalone_fit_find_best():
     rng = np.random.default_rng(2)
     target = jnp.asarray(rng.random((1, 16, 16, 2)).astype(np.float32))

@@ -75,6 +75,22 @@ def test_batched_solver_matches_per_sample():
         )
 
 
+def test_large_cube_shapes_supported():
+    """Arbitrary H x W x B geometry (beyond the 36x36 reference crop):
+    72x72x64 cube -> 288 blocks, solved on the patch-sharded mesh."""
+    s = synthetic_sample(height=72, width=72, bands=64, missing=0.05, seed=30)
+    D = random_dictionary(36 * 36, 64, seed=5)
+    cfg = SolverConfig(
+        variant="lrs_pnp", outer_iters=1, block_size=36, stride=36,
+        sparse=SparseProxConfig(n_iter=2), dip=None,
+    )
+    mesh = make_mesh({"patch": 8})
+    solver = ShardedSolver(s, D, cfg, mesh)
+    state, aux = solver.step(solver.init_state())
+    assert np.isfinite(np.asarray(state.X)).all()
+    assert np.asarray(state.X).shape == (72 * 72, 64)
+
+
 def test_sharded_batched_dip_runs():
     """data x patch mesh with the DIP variant: compiles and executes."""
     from lrs_pnp_dip_tpu.models import Skip
