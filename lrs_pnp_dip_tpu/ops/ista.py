@@ -63,6 +63,10 @@ class SparseProxConfig:
     backend: Literal["auto", "xla", "pallas"] = "auto"
     # 'pallas' fuses the whole ISTA scan into one VMEM-resident kernel
     # (TPU only); 'auto' picks pallas on TPU, xla elsewhere.
+    denoiser: Literal["nlm_fast", "nlm_classic"] = "nlm_fast"
+    # 'nlm_fast': the Python reference's skimage fast-mode pairwise NLM;
+    # 'nlm_classic': the MATLAB twin's NLmeansfilter (wmax self-weight) —
+    # XLA backend only.
 
 
 def _alpha_trace4(D: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
@@ -112,10 +116,20 @@ def pnp_ista_blocks(
 
     Ym = M * Y
 
+    if cfg.denoiser == "nlm_classic":
+        from .nlm import nlm_classic
+
+        def denoise(grad):
+            return jax.vmap(
+                lambda g, hh: nlm_classic(g[:, None], hh)[:, 0]
+            )(grad, h)
+    else:
+        denoise = lambda grad: nlm_column_batch_fast(grad, h)
+
     def body(x, _):
         resid = Ym - M * (x @ D.T)  # (nB, P)
         grad = x + (resid @ D) / alpha[:, None]  # (nB, K)
-        x = nlm_column_batch_fast(grad, h)
+        x = denoise(grad)
         return x, None
 
     # derive the zero init from a (possibly device-varying) input so the
@@ -126,6 +140,8 @@ def pnp_ista_blocks(
 
 
 def _use_pallas(cfg: SparseProxConfig) -> bool:
+    if cfg.denoiser != "nlm_fast":
+        return False  # the fused kernel implements the fast-NLM path only
     if cfg.backend == "pallas":
         return True
     if cfg.backend == "xla":

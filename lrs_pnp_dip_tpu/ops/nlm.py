@@ -121,6 +121,80 @@ def nlm_column(
 nlm_column_batch = jax.vmap(nlm_column, in_axes=(0, 0))
 
 
+def _ring_kernel(f: int):
+    """The MATLAB twin's patch kernel (``NLmeansfilter.m make_kernel``):
+    nested box rings, value 1/(2d+1)^2 per ring d=1..f, divided by f, then
+    normalised to sum 1."""
+    import numpy as np
+
+    k = np.zeros((2 * f + 1, 2 * f + 1))
+    for d in range(1, f + 1):
+        k[f - d : f + d + 1, f - d : f + d + 1] += 1.0 / (2 * d + 1) ** 2
+    k /= f
+    return (k / k.sum()).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("search_radius", "patch_radius"))
+def nlm_classic(
+    image: jnp.ndarray,
+    h,
+    search_radius: int = 3,
+    patch_radius: int = 3,
+) -> jnp.ndarray:
+    """Classic Buades NLM with the MATLAB twin's exact semantics
+    (reference ``LRS-PnP(Matlab Code)/NLmeansfilter.m:32-78``):
+
+      * symmetric (mirror-with-edge) padding of width ``patch_radius``;
+      * ring-weighted patch distance (``make_kernel``), w = exp(-d/h^2);
+      * search window clamped to *image* bounds (neighbour centers never
+        come from padding);
+      * the self pixel is excluded from the loop and re-added with the
+        MAXIMUM neighbour weight (the ``wmax`` rule);
+      * all-zero weight sum falls back to the input pixel.
+
+    This is the denoiser inside the MATLAB ``pnp_ista.m`` (called with
+    t=3, f=3, h=T*0.1).
+    """
+    t, f = search_radius, patch_radius
+    m, n = image.shape
+    x = image.astype(jnp.float32)
+    P = jnp.pad(x, f, mode="symmetric")
+    kernel = jnp.asarray(_ring_kernel(f))[:, :, None, None]
+    h2 = jnp.maximum(jnp.asarray(h, jnp.float32) ** 2, 1e-30)
+
+    rows = jnp.arange(m)[:, None]
+    cols = jnp.arange(n)[None, :]
+
+    def patch_dist(dr, ds):
+        shifted = jnp.roll(P, (-dr, -ds), (0, 1))
+        sq = ((P - shifted) ** 2)[None, :, :, None]
+        d = jax.lax.conv_general_dilated(
+            sq, kernel, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0, :, :, 0]  # (m, n), centered at each original pixel
+        return d
+
+    num = jnp.zeros((m, n), jnp.float32)
+    den = jnp.zeros((m, n), jnp.float32)
+    wmax = jnp.zeros((m, n), jnp.float32)
+    for dr in range(-t, t + 1):
+        for ds in range(-t, t + 1):
+            if dr == 0 and ds == 0:
+                continue
+            valid = (
+                (rows + dr >= 0) & (rows + dr < m) & (cols + ds >= 0) & (cols + ds < n)
+            )
+            d = patch_dist(dr, ds)
+            w = jnp.where(valid, jnp.exp(-d / h2), 0.0)
+            neighbor = jnp.roll(P, (-dr, -ds), (0, 1))[f : f + m, f : f + n]
+            num = num + w * neighbor
+            den = den + w
+            wmax = jnp.maximum(wmax, w)
+    num = num + wmax * x
+    den = den + wmax
+    return jnp.where(den > 0, num / den, x)
+
+
 def nlm_column_batch_fast(G: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     """Closed-form specialisation of :func:`nlm_column` for a batch of
     (K,)-vectors — the solver's hot path (144 blocks x 100 ISTA iterations).

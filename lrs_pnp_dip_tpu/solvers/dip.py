@@ -28,23 +28,8 @@ import jax.numpy as jnp
 import optax
 from flax import linen as nn
 
+from ..utils.config import DipConfig  # re-exported for API stability
 from .early_stop import EarlyStopState, init_early_stop, update_early_stop
-
-
-@dataclasses.dataclass(frozen=True)
-class DipConfig:
-    """DIP training hyper-parameters (reference defaults).
-
-    ``compute_dtype='bfloat16'`` enables mixed precision: forward/backward
-    in bf16 on the MXU, master params + Adam state + loss in f32.
-    """
-
-    num_iter: int = 5000
-    learning_rate: float = 0.1
-    show_every: int = 1
-    buffer_size: int = 30
-    patience: int = 60
-    compute_dtype: str = "float32"
 
 
 class DipResult(NamedTuple):

@@ -13,7 +13,24 @@ import dataclasses
 from typing import Optional
 
 from ..ops.ista import SparseProxConfig
-from ..solvers.dip import DipConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DipConfig:
+    """DIP training hyper-parameters (reference defaults:
+    ``get_DIP_out`` num_iter=5000, lr=0.1, show_every=1 and the
+    EarlyStop buffer 30 / patience 60, ``main_LRS_PnP_DIP_pro.py:211-231``).
+
+    ``compute_dtype='bfloat16'`` enables mixed precision: forward/backward
+    in bf16 on the MXU, master params + Adam state + loss in f32.
+    """
+
+    num_iter: int = 5000
+    learning_rate: float = 0.1
+    show_every: int = 1
+    buffer_size: int = 30
+    patience: int = 60
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -80,6 +80,40 @@ def oracle_nlm2d(image: np.ndarray, h: float, s: int = 3, d: int = 3):
     return out[pad : pad + h0, pad : pad + w0]
 
 
+def oracle_nlm_classic(image: np.ndarray, h: float, t: int = 3, f: int = 3):
+    """Direct port of the MATLAB NLmeansfilter loop semantics."""
+    m, n = image.shape
+    P = np.pad(image.astype(np.float64), f, mode="symmetric")
+    k = np.zeros((2 * f + 1, 2 * f + 1))
+    for d in range(1, f + 1):
+        k[f - d : f + d + 1, f - d : f + d + 1] += 1.0 / (2 * d + 1) ** 2
+    k /= f
+    k /= k.sum()
+    h2 = h * h
+    out = np.zeros((m, n))
+    for i in range(m):
+        for j in range(n):
+            i1, j1 = i + f, j + f
+            W1 = P[i1 - f : i1 + f + 1, j1 - f : j1 + f + 1]
+            wmax = 0.0
+            sweight = 0.0
+            average = 0.0
+            for r in range(max(i1 - t, f), min(i1 + t, m + f - 1) + 1):
+                for s in range(max(j1 - t, f), min(j1 + t, n + f - 1) + 1):
+                    if r == i1 and s == j1:
+                        continue
+                    W2 = P[r - f : r + f + 1, s - f : s + f + 1]
+                    d = np.sum(k * (W1 - W2) ** 2)
+                    w = np.exp(-d / h2)
+                    wmax = max(wmax, w)
+                    sweight += w
+                    average += w * P[r, s]
+            average += wmax * P[i1, j1]
+            sweight += wmax
+            out[i, j] = average / sweight if sweight > 0 else image[i, j]
+    return out
+
+
 # ------------------------------------------------------------------ ista ---
 def oracle_pruned_ista(y, D, missing_index, lam, n_iter, alpha_mode="trace4",
                        h_scale=1.0, nlm_fn=None):

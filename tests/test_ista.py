@@ -73,6 +73,28 @@ def test_masked_ista_specnorm_mode(rng):
         np.testing.assert_allclose(ours[j], expect, rtol=1e-3, atol=1e-4)
 
 
+def test_ista_classic_denoiser_mode(rng):
+    """The MATLAB-twin denoiser plugs into the same masked ISTA."""
+    from lrs_pnp_dip_tpu.ops.nlm import nlm_classic
+
+    def _matlab_nlm(g, h):
+        return np.asarray(nlm_classic(jnp.asarray(g.astype(np.float32)), float(h)))
+
+    D, Y, M = _problem(rng, nB=2)
+    cfg = SparseProxConfig(
+        n_iter=5, alpha_mode="specnorm", h_scale=0.1,
+        power_iters=100, denoiser="nlm_classic",
+    )
+    ours = np.asarray(pnp_ista_blocks(jnp.asarray(Y), jnp.asarray(M), jnp.asarray(D), cfg))
+    for j in range(Y.shape[0]):
+        missing = np.where(M[j] == 0)[0]
+        expect = oracle_pruned_ista(
+            Y[j], D.astype(np.float64), missing, 0.1, 5,
+            alpha_mode="specnorm", h_scale=0.1, nlm_fn=_matlab_nlm,
+        )[:, 0]
+        np.testing.assert_allclose(ours[j], expect, rtol=1e-3, atol=1e-4)
+
+
 def test_sparse_prox_reconstructs_with_full_dictionary(rng):
     D, Y, M = _problem(rng)
     cfg = SparseProxConfig(n_iter=5)

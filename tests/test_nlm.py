@@ -8,7 +8,7 @@ from lrs_pnp_dip_tpu.ops.nlm import (
     nlm_column_batch,
     nlm_column_batch_fast,
 )
-from reference_oracles import oracle_nlm2d
+from reference_oracles import oracle_nlm2d, oracle_nlm_classic
 
 
 def test_nlm2d_matches_direct_oracle(rng):
@@ -38,6 +38,28 @@ def test_nlm_large_h_smooths(rng):
     v = rng.random(64).astype(np.float32)
     out = np.asarray(nlm_column(jnp.asarray(v), 100.0))
     assert np.var(out) < 0.5 * np.var(v)
+
+
+def test_nlm_classic_matches_matlab_oracle(rng):
+    """The classic Buades NLM (wmax self-weight, symmetric pad, ring
+    kernel, in-image search clamp) vs a direct port of NLmeansfilter.m."""
+    from lrs_pnp_dip_tpu.ops.nlm import nlm_classic
+
+    img = rng.random((12, 10)).astype(np.float32)
+    for h in (0.05, 0.4):
+        ours = np.asarray(nlm_classic(jnp.asarray(img), h))
+        expect = oracle_nlm_classic(img, h)
+        np.testing.assert_allclose(ours, expect, rtol=2e-4, atol=2e-5)
+
+
+def test_nlm_classic_column_vector(rng):
+    """MATLAB pnp_ista denoises the (K,1) gradient with NLmeansfilter."""
+    from lrs_pnp_dip_tpu.ops.nlm import nlm_classic
+
+    v = rng.random((30, 1)).astype(np.float32)
+    ours = np.asarray(nlm_classic(jnp.asarray(v), 0.1))
+    expect = oracle_nlm_classic(v, 0.1)
+    np.testing.assert_allclose(ours, expect, rtol=2e-4, atol=2e-5)
 
 
 def test_nlm_fast_column_matches_general(rng):
