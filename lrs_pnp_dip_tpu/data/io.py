@@ -148,6 +148,17 @@ REFERENCE_MASKS = {
     "mask4": "fourth_mask.mat",
 }
 
+# Each noisy file has its mask baked in (missing pixels are stored as 0);
+# these pairings were verified by matching the zero patterns against the
+# mask files (66/300/330/432/432 missing pixels respectively).
+REFERENCE_PAIRS = {
+    "img1": "mask1",
+    "img2": "mask2",
+    "img3": "mask3",
+    "img4": "mask4",
+    "img5": "mask4",
+}
+
 
 def reference_data_available(data_dir: str = _REFERENCE_DATA_DIR) -> bool:
     return os.path.isdir(data_dir) and os.path.exists(
@@ -168,6 +179,11 @@ def load_reference_sample(
         os.path.join(data_dir, clean_fn),
         name=f"{image}+{mask}",
     )
+
+
+def load_reference_pair(image: str, data_dir: str = _REFERENCE_DATA_DIR) -> HsiSample:
+    """Load a reference image with its own (baked-in) mask."""
+    return load_reference_sample(image, REFERENCE_PAIRS[image], data_dir)
 
 
 def matricize(cube: np.ndarray) -> np.ndarray:

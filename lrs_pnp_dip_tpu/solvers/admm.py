@@ -137,8 +137,14 @@ def build_step(
         if cfg.variant == "lrs_pnp":
             U = svt_fn(Z, 1.0 / cfg.mu2)
             return U, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32)
-        dip_input = Z.reshape(1, h, w, b)
-        res: DipResult = dip_fit(key, dip_input, consts.dip_target, consts.dip_mask)
+        fit_key, input_key = jax.random.split(key)
+        if cfg.dip.input_mode == "noise":
+            dip_input = cfg.dip.noise_var * jax.random.uniform(
+                input_key, (1, h, w, b)
+            )
+        else:
+            dip_input = Z.reshape(1, h, w, b)
+        res: DipResult = dip_fit(fit_key, dip_input, consts.dip_target, consts.dip_mask)
         return res.out.reshape(h * w, b), res.n_iters, res.loss
 
     def step(state: SolverState, consts: ProblemConsts):

@@ -31,6 +31,13 @@ class DipConfig:
     buffer_size: int = 30
     patience: int = 60
     compute_dtype: str = "float32"
+    input_mode: str = "iterate"
+    # 'iterate': DIP input = X + lambda_2/mu_2 (the reference's
+    #   image-conditioned DIP, ``main_LRS_PnP_DIP_pro.py:412``);
+    # 'noise': classic fixed-noise-input DIP (``utils/common_utils.py``
+    #   get_noise heritage) — the noise is drawn once per outer iteration
+    #   from the carried key.
+    noise_var: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)
