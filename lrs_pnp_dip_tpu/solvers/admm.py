@@ -286,6 +286,36 @@ class Solver:
         hist["best_X"] = best[1]
         return state, hist
 
+    def run_scanned(self, n_iters: Optional[int] = None, state: Optional[SolverState] = None):
+        """Run N outer iterations as ONE on-device ``lax.scan`` — zero host
+        round-trips between iterations (the dispatch-free production path).
+        Returns (final_state, stacked scalar history dict)."""
+        n = self.config.outer_iters if n_iters is None else n_iters
+        state = self.init_state() if state is None else state
+        if not hasattr(self, "_scan_fn"):
+
+            def scan_body(st, _):
+                new_st, aux = self._step(st, self.consts)
+                scalars = {
+                    "mpsnr": aux.mpsnr,
+                    "ssim": aux.ssim,
+                    "x_dist": aux.x_dist,
+                    "l1_dist": aux.l1_dist,
+                    "l2_dist": aux.l2_dist,
+                    "dip_iters": aux.dip_iters,
+                }
+                return new_st, scalars
+
+            import functools as _ft
+
+            @_ft.partial(jax.jit, static_argnames=("length",))
+            def scan_all(st, length):
+                return jax.lax.scan(scan_body, st, None, length=length)
+
+            self._scan_fn = scan_all
+        final, hist = self._scan_fn(state, n)
+        return final, {k: np.asarray(v) for k, v in hist.items()}
+
     def result_cube(self, state: SolverState) -> np.ndarray:
         return np.asarray(state.X).reshape(self.height, self.width, self.n_bands)
 

@@ -78,6 +78,23 @@ def test_dip_1lip_solver_smoke_synthetic():
     assert np.isfinite(np.asarray(state.X)).all()
 
 
+def test_run_scanned_matches_python_loop():
+    """The on-device lax.scan driver must equal the per-step Python loop."""
+    s = synthetic_sample(height=12, width=12, bands=16, missing=0.1, seed=8)
+    D = random_dictionary(36, 24, seed=2)
+    cfg = SolverConfig(
+        variant="lrs_pnp", outer_iters=3, block_size=6, stride=6,
+        sparse=SparseProxConfig(n_iter=4), dip=None,
+    )
+    solver = Solver(s, D, cfg)
+    st_loop, hist_loop = solver.run()
+    st_scan, hist_scan = solver.run_scanned()
+    np.testing.assert_allclose(
+        np.asarray(st_loop.X), np.asarray(st_scan.X), atol=1e-5
+    )
+    np.testing.assert_allclose(hist_loop["mpsnr"], hist_scan["mpsnr"], atol=1e-3)
+
+
 def test_solver_state_roundtrip_determinism():
     """Same seed -> identical trajectory (pure-function engine)."""
     s = synthetic_sample(height=12, width=12, bands=16, missing=0.1, seed=5)
