@@ -72,8 +72,7 @@ def save_iteration_panel(
     res_ax.set_xlabel(
         f"MPSNR {float(aux.mpsnr):.4f}  MSSIM {float(aux.ssim):.4f}", fontsize=8
     )
-    f.tight_layout()
-    f.savefig(path, dpi=110)
+    f.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(f)
 
 

@@ -28,22 +28,24 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", choices=["lrs_pnp", "dip", "dip_1lip"], default="dip")
     ap.add_argument("--images", default="img1,img2,img3,img4,img5")
-    ap.add_argument("--masks", default="mask1")
+    ap.add_argument("--masks", default=None,
+                    help="comma list; default = each image's own baked-in mask")
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--atoms", type=int, default=512)
     ap.add_argument("--log", default=None)
     args = ap.parse_args()
 
     from lrs_pnp_dip_tpu.data.dictionary import load_trained_dictionary
-    from lrs_pnp_dip_tpu.data.io import load_reference_sample
+    from lrs_pnp_dip_tpu.data.io import load_reference_pair, load_reference_sample
     from lrs_pnp_dip_tpu.solvers.batch import BatchedSolver
     from lrs_pnp_dip_tpu.utils.config import PRESETS
 
     images = args.images.split(",")
-    masks = args.masks.split(",")
-    samples = [
-        load_reference_sample(i, m) for i in images for m in masks
-    ]
+    if args.masks is None:
+        samples = [load_reference_pair(i) for i in images]
+    else:
+        masks = args.masks.split(",")
+        samples = [load_reference_sample(i, m) for i in images for m in masks]
     names = [s.name for s in samples]
     D = load_trained_dictionary(args.atoms)
     cfg = PRESETS[args.variant]()
