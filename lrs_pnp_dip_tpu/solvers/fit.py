@@ -73,7 +73,16 @@ def fit(
         )
     else:
         schedule = cfg.lr
-    opt = optax.adam(schedule) if cfg.optimizer == "adam" else optax.sgd(schedule, momentum=0.9)
+    if cfg.optimizer == "adam":
+        opt = optax.adam(schedule)
+    elif cfg.optimizer == "sgd":
+        opt = optax.sgd(schedule, momentum=0.9)
+    elif cfg.optimizer == "lbfgs":
+        # reference include/fit.py offered LBFGS with an Adam warmup;
+        # optax.lbfgs carries its own linesearch
+        opt = optax.lbfgs()
+    else:
+        raise ValueError(cfg.optimizer)
 
     leaves = {"params": params}
     if cfg.opt_input:
@@ -105,7 +114,13 @@ def fit(
         std = cfg.reg_noise_std * (cfg.reg_noise_decay ** decay_steps.astype(jnp.float32))
         noise = std * jax.random.normal(sub, net_input.shape)
         (loss, (out, new_state)), grads = grad_fn(leaves, model_state, noise)
-        updates, opt_state = opt.update(grads, opt_state, leaves)
+        if cfg.optimizer == "lbfgs":
+            updates, opt_state = opt.update(
+                grads, opt_state, leaves, value=loss, grad=grads,
+                value_fn=lambda l: loss_fn(l, model_state, noise)[0],
+            )
+        else:
+            updates, opt_state = opt.update(grads, opt_state, leaves)
         leaves = optax.apply_updates(leaves, updates)
         improved = loss < best_loss * 1.01 if cfg.find_best else False
         best_loss = jnp.where(improved, jnp.minimum(loss, best_loss), best_loss)

@@ -89,6 +89,20 @@ def test_dip_fit_bfloat16_mixed_precision():
     assert float(res.loss) < 0.03  # bf16 still fits the target
 
 
+def test_standalone_fit_lbfgs():
+    rng = np.random.default_rng(4)
+    target = jnp.asarray(rng.random((1, 16, 16, 2)).astype(np.float32))
+    inp = jnp.asarray(rng.random((1, 16, 16, 2)).astype(np.float32))
+    res = fit(
+        _tiny_net(2),
+        jax.random.PRNGKey(0),
+        inp,
+        target,
+        config=FitConfig(num_iter=25, optimizer="lbfgs", find_best=False),
+    )
+    assert float(res.losses[-1]) < float(res.losses[0])
+
+
 def test_standalone_fit_find_best():
     rng = np.random.default_rng(2)
     target = jnp.asarray(rng.random((1, 16, 16, 2)).astype(np.float32))
