@@ -163,4 +163,27 @@ void scatter_blocks(const float* blocks, int n_pix, int n_band, int bb,
   }
 }
 
+// ------------------------------------------------------------ tile loader
+// Extract spatial tiles from a big (H, W, B) float32 cube (row-major).
+// origins: n_tiles pairs (h0, w0); each tile is (th, tw, B), clamped
+// reads are the caller's responsibility (origins must satisfy
+// h0+th <= H, w0+tw <= W).  OpenMP-parallel over tiles — the host-side
+// feeder for the large tiled-cube workload.
+void extract_tiles(const float* cube, int H, int W, int B,
+                   const int* origins, int n_tiles, int th, int tw,
+                   float* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int t = 0; t < n_tiles; ++t) {
+    const int h0 = origins[2 * t];
+    const int w0 = origins[2 * t + 1];
+    float* dst = out + (size_t)t * th * tw * B;
+    for (int i = 0; i < th; ++i) {
+      const float* src_row = cube + ((size_t)(h0 + i) * W + w0) * B;
+      std::memcpy(dst + (size_t)i * tw * B, src_row, sizeof(float) * (size_t)tw * B);
+    }
+  }
+}
+
 }  // extern "C"
