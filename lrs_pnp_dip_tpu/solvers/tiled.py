@@ -1,0 +1,82 @@
+"""Whole-scene recovery by tile streaming — the production large-cube path.
+
+Splits an arbitrarily large (H, W, B) scene into spatial tiles
+(:mod:`..data.tiles`), solves each batch of tiles in lockstep through ONE
+compiled vmapped ADMM step (compiled once, reused for every batch — the
+final partial batch is padded to keep the shape static), and stitches the
+recovered tiles back with overlap averaging.  The tile feeder prefetches
+on a host thread (C++ extractor) while the device solves the previous
+batch.
+
+This is the capability the reference lacked entirely: it could only ever
+process one hard-coded 36x36 crop per script run.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..data.io import HsiSample
+from ..data.tiles import TileLoader
+from ..utils.config import SolverConfig
+from .admm import build_step, init_state, make_consts
+from .batch import stack_consts, stack_states
+
+
+def solve_tiled(
+    noisy: np.ndarray,  # (H, W, B) observed scene (missing pixels = 0)
+    mask: np.ndarray,  # (H, W) observation mask
+    dictionary: np.ndarray,
+    config: SolverConfig,
+    tile_shape: Tuple[int, int] = (36, 36),
+    tile_batch: int = 8,
+    overlap: int = 0,
+    n_iters: Optional[int] = None,
+    net=None,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Recover the whole scene tile-by-tile; returns (H, W, B).
+
+    ``overlap`` > 0 strides tiles by (tile - overlap) and averages the
+    overlapping recoveries (seam suppression).
+    """
+    h, w, b = noisy.shape
+    th, tw = tile_shape
+    stride = (th - overlap, tw - overlap) if overlap else None
+    loader = TileLoader(
+        np.ascontiguousarray(noisy, np.float32), (th, tw),
+        batch_size=tile_batch, stride=stride,
+    )
+    n = config.outer_iters if n_iters is None else n_iters
+
+    step = jax.jit(jax.vmap(build_step(config, (th, tw, b), net=net), in_axes=(0, 0)))
+
+    out = np.zeros((h, w, b), np.float64)
+    weight = np.zeros((h, w, 1), np.float64)
+
+    for tiles, origins in loader.batches():
+        n_real = len(origins)
+        samples = [
+            HsiSample(noisy=t, mask=mask[h0 : h0 + th, w0 : w0 + tw])
+            for t, (h0, w0) in zip(tiles, origins)
+        ]
+        # pad the final partial batch so the compiled shape stays constant
+        while len(samples) < tile_batch:
+            samples.append(samples[-1])
+        consts = stack_consts([make_consts(s, dictionary, config) for s in samples])
+        state = stack_states(
+            [init_state(s, config.seed + i) for i, s in enumerate(samples)]
+        )
+        for _ in range(n):
+            state, aux = step(state, consts)
+        cubes = np.asarray(state.X).reshape(-1, th, tw, b)[:n_real]
+        for cube, (h0, w0) in zip(cubes, origins):
+            out[h0 : h0 + th, w0 : w0 + tw] += cube
+            weight[h0 : h0 + th, w0 : w0 + tw] += 1.0
+        if verbose:
+            print(f"solved {n_real} tiles at origin {tuple(origins[0])}", flush=True)
+
+    return (out / np.maximum(weight, 1.0)).astype(np.float32)
