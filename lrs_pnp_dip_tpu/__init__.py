@@ -31,3 +31,7 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+from .api import inpaint  # noqa: E402  (one-call user API)
+
+__all__ = ["inpaint"]

@@ -1,0 +1,64 @@
+"""One-call user API.
+
+    import lrs_pnp_dip_tpu as lrs
+    cube, info = lrs.inpaint(noisy, mask, variant="dip")
+
+Handles dictionary acquisition automatically: the shipped artifact when the
+patch geometry matches, otherwise a dictionary learned on the fly from the
+observed data (masked entries excluded by using the observed pixels only).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .data.io import HsiSample
+from .utils.config import PRESETS, SolverConfig
+
+
+def _auto_dictionary(sample: HsiSample, config: SolverConfig, n_atoms: int = 512):
+    patch_dim = config.block_size * config.block_size
+    if patch_dim == 36 * 36:
+        try:
+            from .data.dictionary import load_trained_dictionary
+
+            return load_trained_dictionary(n_atoms)
+        except FileNotFoundError:
+            pass
+    # learn from the observed image itself (self-supervised, like the
+    # whole pipeline): use the noisy cube, which is all that exists
+    from .data.dictionary import extract_training_patches, learn_dictionary
+
+    patches = extract_training_patches(
+        [sample.noisy], block_size=config.block_size, stride=1
+    )
+    n_atoms = min(n_atoms, max(64, patches.shape[1] // 2))
+    return learn_dictionary(patches, n_atoms=n_atoms, n_outer=10, sparse_iters=20)
+
+
+def inpaint(
+    noisy: np.ndarray,
+    mask: np.ndarray,
+    variant: str = "dip",
+    clean: Optional[np.ndarray] = None,
+    dictionary: Optional[np.ndarray] = None,
+    config: Optional[SolverConfig] = None,
+    n_iters: Optional[int] = None,
+    **preset_overrides,
+) -> Tuple[np.ndarray, dict]:
+    """Recover a masked+noisy (H, W, B) cube.  Returns (cube, history)."""
+    from .solvers import Solver
+
+    sample = HsiSample(
+        noisy=np.asarray(noisy, np.float32),
+        mask=np.asarray(mask, np.float32),
+        clean=None if clean is None else np.asarray(clean, np.float32),
+    )
+    cfg = config or PRESETS[variant](**preset_overrides)
+    if dictionary is None:
+        dictionary = _auto_dictionary(sample, cfg)
+    solver = Solver(sample, dictionary, cfg)
+    state, hist = solver.run(n_iters=n_iters)
+    return solver.result_cube(state), hist

@@ -95,6 +95,11 @@ class SolverDiverged(RuntimeError):
 
 
 def default_net(config: SolverConfig, n_bands: int):
+    if config.dip_net != "default":
+        from ..models import get_net
+
+        return get_net(n_bands, config.dip_net, pad="reflection",
+                       n_channels=n_bands)
     if config.variant == "dip":
         return dip_skip_128(num_channels=n_bands)
     if config.variant == "dip_1lip":

@@ -55,6 +55,10 @@ class SolverConfig:
     sparse: SparseProxConfig = SparseProxConfig()
     dip: Optional[DipConfig] = DipConfig()
     # network (DIP variants)
+    dip_net: str = "default"
+    # 'default': skip-128 for 'dip', Lipschitz-UNet for 'dip_1lip';
+    # otherwise any models.get_net key ('UNet', 'ResNet', 'deep_decoder',
+    # 'texture_nets', ...) — the DIP prox then uses that architecture.
     net_width: int = 128
     ln_lambda: float = 1.0  # Lipschitz bound (1-Lip variant)
     sn_mode: str = "power"  # spectral-norm estimator

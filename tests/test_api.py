@@ -1,0 +1,31 @@
+import numpy as np
+import jax.numpy as jnp
+
+import lrs_pnp_dip_tpu as lrs
+from lrs_pnp_dip_tpu.data.masks import synthetic_sample
+from lrs_pnp_dip_tpu.ops.ista import SparseProxConfig
+from lrs_pnp_dip_tpu.ops.metrics import mpsnr
+from lrs_pnp_dip_tpu.utils.config import SolverConfig
+
+
+def test_inpaint_one_call_auto_dictionary():
+    s = synthetic_sample(height=16, width=16, bands=24, missing=0.08, seed=21)
+    cfg = SolverConfig(
+        variant="lrs_pnp", outer_iters=2, block_size=8, stride=8,
+        sparse=SparseProxConfig(n_iter=10, alpha_mode="specnorm", h_scale=0.1),
+        dip=None, mu1=0.15, mu2=0.9,
+    )
+    cube, hist = lrs.inpaint(s.noisy, s.mask, config=cfg, clean=s.clean)
+    assert cube.shape == s.noisy.shape
+    inp = float(mpsnr(jnp.asarray(s.clean), jnp.asarray(s.noisy)))
+    assert hist["mpsnr"][-1] > inp - 0.5  # no divergence; usually improves
+
+
+def test_config_dip_net_selection():
+    from lrs_pnp_dip_tpu.solvers.admm import default_net
+    from lrs_pnp_dip_tpu.utils.config import dip_preset
+
+    net = default_net(dip_preset(dip_net="deep_decoder"), 16)
+    from lrs_pnp_dip_tpu.models import DeepDecoder
+
+    assert isinstance(net, DeepDecoder)
