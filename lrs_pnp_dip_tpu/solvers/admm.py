@@ -27,7 +27,7 @@ carried PRNG key, so one compilation serves all 250 outer iterations.
 
 from __future__ import annotations
 
-import dataclasses
+
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
