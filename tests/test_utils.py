@@ -81,6 +81,38 @@ def test_viz_panels(tmp_path):
     assert os.path.getsize(c) > 1000
 
 
+def test_profiler_trace(tmp_path):
+    from lrs_pnp_dip_tpu.utils.profiling import annotate, trace
+
+    d = str(tmp_path / "prof")
+    with trace(d):
+        with annotate("stage"):
+            jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    import glob
+
+    assert glob.glob(os.path.join(d, "**", "*"), recursive=True)
+
+
+def test_gen_noise_module(rng):
+    from lrs_pnp_dip_tpu.models import GenNoise
+
+    m = GenNoise(dim2=7)
+    x = jnp.ones((2, 4, 4, 3))
+    variables = m.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
+    y = m.apply(variables, x, rngs={"noise": jax.random.PRNGKey(2)})
+    assert y.shape == (2, 4, 4, 7)
+    assert abs(float(y.mean())) < 0.2  # standard normal
+
+
+def test_singular_energy_ratio(rng):
+    from lrs_pnp_dip_tpu.ops.svt import singular_energy_ratio
+
+    X = jnp.asarray(rng.standard_normal((50, 10)).astype(np.float32))
+    s = np.linalg.svd(np.asarray(X), compute_uv=False)
+    expect = s[:4].sum() / s.sum()  # reference sums top p-1
+    np.testing.assert_allclose(float(singular_energy_ratio(X, 5)), expect, rtol=1e-3)
+
+
 def test_get_noise_shapes():
     x = get_noise(jax.random.PRNGKey(0), 8, (16, 16))
     assert x.shape == (1, 16, 16, 8)
