@@ -1,0 +1,184 @@
+"""One long-lived TPU session: benchmark + all quality runs, serially.
+
+The axon tunnel grants the chip exclusively per process and takes minutes
+to release it after exit (killed clients can wedge it much longer), so
+everything TPU-side runs inside this single process:
+
+  1. sparse-prox benchmark (pallas + xla + cpu) -> artifacts/bench_last.json
+  2. LRS-PnP-DIP, full 250-iteration preset, every reference pair
+  3. LRS-PnP-DIP(1-Lip), full preset, every reference pair
+  4. classic LRS-PnP, all pairs (cheap)
+  5. large tiled-cube single-chip throughput
+
+Progress goes to stdout (run with -u) and per-run jsonl files under
+``artifacts/runs/``.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def bench_sparse_prox(out_path):
+    import jax
+    import jax.numpy as jnp
+
+    from lrs_pnp_dip_tpu.data import random_dictionary
+    from lrs_pnp_dip_tpu.data.io import load_reference_pair
+    from lrs_pnp_dip_tpu.data.io import matricize
+    from lrs_pnp_dip_tpu.ops.blocks import block_grid, extract_blocks
+    from lrs_pnp_dip_tpu.ops.ista import SparseProxConfig, sparse_prox
+
+    sample = load_reference_pair("img1")
+    Y = np.asarray(matricize(sample.noisy), np.float32)
+    D = random_dictionary(36 * 36, 512, seed=0)
+    grid = block_grid(Y.shape, 36, 36)
+
+    def run_on(device, backend, iters=20):
+        cfg = SparseProxConfig(n_iter=100, alpha_mode="trace4", backend=backend)
+        Yd = jax.device_put(jnp.asarray(Y), device)
+        Dd = jax.device_put(jnp.asarray(D), device)
+        blocks = extract_blocks(Yd, grid)
+        mask_blocks = (blocks != 0).astype(jnp.float32)
+        fn = jax.jit(lambda b, m, d: sparse_prox(b, m, d, cfg))
+        r = fn(blocks, mask_blocks, Dd)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(blocks, mask_blocks, Dd)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / iters
+
+    tpu = jax.devices()[0]
+    t_pal = run_on(tpu, "pallas")
+    t_xla = run_on(tpu, "xla")
+    log(f"sparse prox tpu: pallas {t_pal*1e3:.2f} ms, xla {t_xla*1e3:.2f} ms")
+    t_cpu = run_on(jax.devices("cpu")[0], "xla", iters=3)
+    log(f"sparse prox cpu: {t_cpu*1e3:.1f} ms")
+    value = grid.n_blocks * 100 / t_pal
+    result = {
+        "metric": "pnp_ista_block_iters_per_sec",
+        "value": round(value, 1),
+        "unit": "block_iters/s",
+        "vs_baseline": round(t_cpu / t_pal, 3),
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    log(f"bench result: {result}")
+
+
+def quality_run(variant, image, n_iters, runs_dir):
+    import jax
+
+    from lrs_pnp_dip_tpu.data.dictionary import load_trained_dictionary
+    from lrs_pnp_dip_tpu.data.io import load_reference_pair
+    from lrs_pnp_dip_tpu.solvers import Solver
+    from lrs_pnp_dip_tpu.utils.config import PRESETS
+
+    sample = load_reference_pair(image)
+    D = load_trained_dictionary()
+    cfg = PRESETS[variant]()
+    solver = Solver(sample, D, cfg)
+    state = solver.init_state()
+    path = os.path.join(runs_dir, f"{variant}_{image}.jsonl")
+    best = (-1e9, -1, 0.0)
+    t_start = time.time()
+    with open(path, "w") as f:
+        for i in range(n_iters):
+            state, aux = solver.step(state)
+            rec = {
+                "iter": i,
+                "mpsnr": float(aux.mpsnr),
+                "ssim": float(aux.ssim),
+                "dip_iters": int(aux.dip_iters),
+            }
+            f.write(json.dumps(rec) + "\n")
+            if rec["mpsnr"] > best[0]:
+                best = (rec["mpsnr"], i, rec["ssim"])
+            if i % 25 == 0 or i == n_iters - 1:
+                f.flush()
+                log(
+                    f"{variant}/{image} iter {i}: MPSNR {rec['mpsnr']:.3f} "
+                    f"SSIM {rec['ssim']:.4f} dip {rec['dip_iters']}"
+                )
+    log(
+        f"{variant}/{image} DONE in {time.time()-t_start:.0f}s: "
+        f"best MPSNR {best[0]:.3f} (iter {best[1]}) SSIM {best[2]:.4f}"
+    )
+    return best
+
+
+def large_cube_throughput():
+    import jax
+
+    from lrs_pnp_dip_tpu.data import random_dictionary
+    from lrs_pnp_dip_tpu.data.masks import synthetic_sample
+    from lrs_pnp_dip_tpu.ops.blocks import block_grid
+    from lrs_pnp_dip_tpu.ops.ista import SparseProxConfig
+    from lrs_pnp_dip_tpu.solvers import Solver
+    from lrs_pnp_dip_tpu.utils.config import lrs_pnp_preset
+
+    sample = synthetic_sample(144, 144, 128, missing=0.05)
+    D = random_dictionary(36 * 36, 512, seed=0)
+    cfg = lrs_pnp_preset(
+        outer_iters=3,
+        sparse=SparseProxConfig(n_iter=100, alpha_mode="specnorm", h_scale=0.1),
+    )
+    grid = block_grid((144 * 144, 128), 36, 36)
+    solver = Solver(sample, D, cfg)
+    state = solver.init_state()
+    state, aux = solver.step(state)
+    jax.block_until_ready(state.X)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state, aux = solver.step(state)
+    jax.block_until_ready(state.X)
+    dt = (time.perf_counter() - t0) / 3
+    log(
+        f"large cube 144x144x128 ({grid.n_blocks} blocks): {dt:.3f}s/outer iter "
+        f"= {grid.n_blocks*100/dt:,.0f} block-iters/s single chip"
+    )
+
+
+def main():
+    runs_dir = os.path.join(os.path.dirname(__file__), "..", "artifacts", "runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    log("=== TPU session start ===")
+    bench_sparse_prox(
+        os.path.join(os.path.dirname(__file__), "..", "artifacts", "bench_last.json")
+    )
+    summary = {}
+    for variant in ("dip", "dip_1lip"):
+        for image in ("img1", "img2", "img3", "img4", "img5"):
+            try:
+                summary[f"{variant}/{image}"] = quality_run(
+                    variant, image, 250, runs_dir
+                )
+            except Exception as e:
+                log(f"{variant}/{image} FAILED: {type(e).__name__}: {e}")
+    for image in ("img1", "img2", "img3", "img4", "img5"):
+        try:
+            summary[f"lrs_pnp/{image}"] = quality_run("lrs_pnp", image, 2, runs_dir)
+        except Exception as e:
+            log(f"lrs_pnp/{image} FAILED: {e}")
+    large_cube_throughput()
+    log("=== SUMMARY ===")
+    for k, (m, i, s) in summary.items():
+        log(f"{k}: best MPSNR {m:.3f} at iter {i}, SSIM {s:.4f}")
+    with open(os.path.join(runs_dir, "summary.json"), "w") as f:
+        json.dump({k: {"mpsnr": v[0], "iter": v[1], "ssim": v[2]} for k, v in summary.items()}, f, indent=1)
+    log("=== TPU session done ===")
+
+
+if __name__ == "__main__":
+    main()
