@@ -17,15 +17,38 @@ Progress goes to stdout (run with -u) and per-run jsonl files under
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+_last_progress = [time.time()]
+
 
 def log(msg):
+    _last_progress[0] = time.time()
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def start_wedge_watchdog(stall_s: float = 1200.0):
+    """Exit 3 if no progress (log line) for ``stall_s`` seconds — the tunnel
+    has wedged mid-session and every further dispatch would hang forever."""
+
+    def watch():
+        while True:
+            time.sleep(60)
+            if time.time() - _last_progress[0] > stall_s:
+                print(
+                    f"[watchdog] no progress in {stall_s:.0f}s — "
+                    "tunnel wedged, exiting 3",
+                    flush=True,
+                )
+                os._exit(3)
+
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
 
 
 def bench_sparse_prox(out_path):
@@ -77,6 +100,14 @@ def bench_sparse_prox(out_path):
     log(f"bench result: {result}")
 
 
+def run_complete(path, n_iters):
+    """True if a previous session already finished this run."""
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        return sum(1 for _ in f) >= n_iters
+
+
 def quality_run(variant, image, n_iters, runs_dir):
     import jax
 
@@ -85,12 +116,18 @@ def quality_run(variant, image, n_iters, runs_dir):
     from lrs_pnp_dip_tpu.solvers import Solver
     from lrs_pnp_dip_tpu.utils.config import PRESETS
 
+    path = os.path.join(runs_dir, f"{variant}_{image}.jsonl")
+    if run_complete(path, n_iters):
+        rows = [json.loads(l) for l in open(path)]
+        best_row = max(rows, key=lambda r: r["mpsnr"])
+        log(f"{variant}/{image}: already complete, skipping")
+        return (best_row["mpsnr"], best_row["iter"], best_row["ssim"])
+
     sample = load_reference_pair(image)
     D = load_trained_dictionary()
     cfg = PRESETS[variant]()
     solver = Solver(sample, D, cfg)
     state = solver.init_state()
-    path = os.path.join(runs_dir, f"{variant}_{image}.jsonl")
     best = (-1e9, -1, 0.0)
     t_start = time.time()
     with open(path, "w") as f:
@@ -153,30 +190,40 @@ def large_cube_throughput():
 def main():
     runs_dir = os.path.join(os.path.dirname(__file__), "..", "artifacts", "runs")
     os.makedirs(runs_dir, exist_ok=True)
+    start_wedge_watchdog()
     log("=== TPU session start ===")
     bench_sparse_prox(
         os.path.join(os.path.dirname(__file__), "..", "artifacts", "bench_last.json")
     )
+    summary_path = os.path.join(runs_dir, "summary.json")
     summary = {}
-    for variant in ("dip", "dip_1lip"):
-        for image in ("img1", "img2", "img3", "img4", "img5"):
-            try:
-                summary[f"{variant}/{image}"] = quality_run(
-                    variant, image, 250, runs_dir
-                )
-            except Exception as e:
-                log(f"{variant}/{image} FAILED: {type(e).__name__}: {e}")
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            summary = json.load(f)
+
+    def record(key, best):
+        summary[key] = {"mpsnr": best[0], "iter": best[1], "ssim": best[2]}
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=1)
+
+    # Flagship pairs first so a mid-session wedge still leaves the headline
+    # numbers on disk; resume skips anything already complete.
+    plan = [("dip", "img1", 250), ("dip_1lip", "img1", 250)]
+    for image in ("img2", "img3", "img4", "img5"):
+        plan.append(("dip", image, 250))
+    for image in ("img2", "img3", "img4", "img5"):
+        plan.append(("dip_1lip", image, 250))
     for image in ("img1", "img2", "img3", "img4", "img5"):
+        plan.append(("lrs_pnp", image, 2))
+    for variant, image, n in plan:
         try:
-            summary[f"lrs_pnp/{image}"] = quality_run("lrs_pnp", image, 2, runs_dir)
+            record(f"{variant}/{image}", quality_run(variant, image, n, runs_dir))
         except Exception as e:
-            log(f"lrs_pnp/{image} FAILED: {e}")
+            log(f"{variant}/{image} FAILED: {type(e).__name__}: {e}")
     large_cube_throughput()
     log("=== SUMMARY ===")
-    for k, (m, i, s) in summary.items():
-        log(f"{k}: best MPSNR {m:.3f} at iter {i}, SSIM {s:.4f}")
-    with open(os.path.join(runs_dir, "summary.json"), "w") as f:
-        json.dump({k: {"mpsnr": v[0], "iter": v[1], "ssim": v[2]} for k, v in summary.items()}, f, indent=1)
+    for k, v in summary.items():
+        log(f"{k}: best MPSNR {v['mpsnr']:.3f} at iter {v['iter']}, SSIM {v['ssim']:.4f}")
     log("=== TPU session done ===")
 
 
