@@ -1,0 +1,196 @@
+"""Quality-gap diagnostics + hyper-parameter sweep (single TPU process).
+
+The reference's committed figures reach 40.6-42.4 dB MPSNR; the faithful
+preset currently peaks ~37-39 dB with our substitute dictionary (the
+reference's trained_dictionary.mat is a missing LFS blob, so some retuning
+is expected and legitimate).  This script runs, serially in ONE process:
+
+  1. a pure-DIP ceiling probe (no ADMM): how far can the DIP stage alone
+     get on img1?  Upper-bounds what the DIP prox can contribute.
+  2. an ADMM sweep over the sensitive knobs (DIP lr, ES patience, mu1/mu2,
+     ISTA lambda/h, dictionary variants), each a full run on img1 with
+     best-over-iterations scoring (the reference's own results are
+     best-iteration figures).
+
+Results append to artifacts/tune.jsonl so reruns accumulate.
+
+Usage: python -u scripts/tune.py [--stage dipceil|sweep|all] [--image img1]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+OUT = os.path.join(ROOT, "artifacts", "tune.jsonl")
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def record(rec):
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    log(f"RESULT {rec}")
+
+
+def dip_ceiling(image: str):
+    """Train ONE DIP net on the masked noisy image (no ADMM around it) and
+    track the best MPSNR over the whole run — the DIP-stage ceiling."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lrs_pnp_dip_tpu.data.io import load_reference_pair
+    from lrs_pnp_dip_tpu.models import dip_skip_128
+    from lrs_pnp_dip_tpu.ops.metrics import mpsnr
+
+    sample = load_reference_pair(image)
+    h, w, b = sample.shape
+    clean = jnp.asarray(sample.clean)
+    target = jnp.asarray(sample.noisy)[None]
+    mask = jnp.asarray(sample.mask)[None, :, :, None]
+
+    for lr, n_iter, input_mode in (
+        (0.1, 3000, "iterate"),
+        (0.01, 3000, "iterate"),
+        (0.01, 3000, "noise"),
+        (0.001, 6000, "noise"),
+    ):
+        model = dip_skip_128(b)
+        key = jax.random.PRNGKey(0)
+        if input_mode == "noise":
+            dip_input = 0.1 * jax.random.uniform(jax.random.PRNGKey(7), (1, h, w, b))
+        else:
+            dip_input = target
+        opt = optax.adam(lr)
+
+        def loss_fn(params, x):
+            out = model.apply({"params": params}, x)
+            return jnp.mean((target * mask - out * mask) ** 2), out
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def body(carry, _):
+            params, opt_state = carry
+            (loss, out), grads = grad_fn(params, dip_input)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            m = mpsnr(clean, out[0])
+            return (params, opt_state), m
+
+        @jax.jit
+        def run(key):
+            params = model.init(key, dip_input)["params"]
+            opt_state = opt.init(params)
+            _, ms = jax.lax.scan(body, (params, opt_state), None, length=n_iter)
+            return ms
+
+        t0 = time.time()
+        ms = np.asarray(run(key))
+        best_i = int(np.nanargmax(ms))
+        record(
+            {
+                "exp": "dip_ceiling",
+                "image": image,
+                "lr": lr,
+                "input": input_mode,
+                "n_iter": n_iter,
+                "best_mpsnr": round(float(ms[best_i]), 3),
+                "best_iter": best_i,
+                "final_mpsnr": round(float(ms[-1]), 3),
+                "secs": round(time.time() - t0, 1),
+            }
+        )
+
+
+def admm_run(name, image, cfg, D, n_iters=250):
+    from lrs_pnp_dip_tpu.data.io import load_reference_pair
+    from lrs_pnp_dip_tpu.solvers import Solver
+
+    sample = load_reference_pair(image)
+    solver = Solver(sample, D, cfg)
+    state = solver.init_state()
+    best = (-1e9, -1, 0.0)
+    t0 = time.time()
+    for i in range(n_iters):
+        state, aux = solver.step(state)
+        m, s = float(aux.mpsnr), float(aux.ssim)
+        if m > best[0]:
+            best = (m, i, s)
+    record(
+        {
+            "exp": name,
+            "image": image,
+            "best_mpsnr": round(best[0], 3),
+            "best_iter": best[1],
+            "ssim": round(best[2], 4),
+            "secs": round(time.time() - t0, 1),
+        }
+    )
+    return best
+
+
+def sweep(image: str):
+    import dataclasses as dc
+
+    from lrs_pnp_dip_tpu.data.dictionary import load_trained_dictionary
+    from lrs_pnp_dip_tpu.utils.config import PRESETS, DipConfig
+    from lrs_pnp_dip_tpu.ops.ista import SparseProxConfig
+
+    D = load_trained_dictionary()
+    base = PRESETS["dip"]()
+
+    def with_dip(**kw):
+        return dc.replace(base, dip=dc.replace(base.dip, **kw))
+
+    exps = [
+        ("baseline", base),
+        ("lr0.01", with_dip(learning_rate=0.01)),
+        ("lr0.03", with_dip(learning_rate=0.03)),
+        ("patience150", with_dip(patience=150)),
+        ("noise_input", with_dip(input_mode="noise")),
+        ("mu1_0.01", dc.replace(base, mu1=0.01)),
+        ("mu2_0.3", dc.replace(base, mu2=0.3)),
+        ("mu2_0.03", dc.replace(base, mu2=0.03)),
+        ("gamma1.0", dc.replace(base, gamma=1.0)),
+        (
+            "ista_lam0.01",
+            dc.replace(base, sparse=dc.replace(base.sparse, lambda_ista=0.01)),
+        ),
+        (
+            "ista_h0.1",
+            dc.replace(base, sparse=dc.replace(base.sparse, h_scale=0.1)),
+        ),
+    ]
+    results = {}
+    for name, cfg in exps:
+        try:
+            results[name] = admm_run(name, image, cfg, D)
+        except Exception as e:
+            log(f"{name} FAILED: {type(e).__name__}: {e}")
+    best = max(results.items(), key=lambda kv: kv[1][0])
+    log(f"sweep best: {best}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="all", choices=("dipceil", "sweep", "all"))
+    ap.add_argument("--image", default="img1")
+    args = ap.parse_args()
+    if args.stage in ("dipceil", "all"):
+        dip_ceiling(args.image)
+    if args.stage in ("sweep", "all"):
+        sweep(args.image)
+
+
+if __name__ == "__main__":
+    main()
