@@ -109,8 +109,18 @@ def make_dip_fit(model: nn.Module, cfg: DipConfig = DipConfig()):
             i=jnp.zeros((), jnp.int32),
         )
         final = jax.lax.while_loop(cond, body, init)
+        if cfg.return_mode == "window_mean":
+            n_seen = jnp.minimum(final.es.count, cfg.buffer_size)
+            out = jnp.where(
+                n_seen > 0,
+                jnp.mean(final.es.window, axis=0).reshape(target.shape)
+                * (cfg.buffer_size / jnp.maximum(n_seen, 1)),
+                final.out,
+            )
+        else:
+            out = final.out
         return DipResult(
-            out=final.out, loss=final.loss, n_iters=final.i, stopped=final.es.stop
+            out=out, loss=final.loss, n_iters=final.i, stopped=final.es.stop
         )
 
     return fit

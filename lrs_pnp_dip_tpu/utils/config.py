@@ -38,6 +38,14 @@ class DipConfig:
     #   get_noise heritage) — the noise is drawn once per outer iteration
     #   from the carried key.
     noise_var: float = 0.1
+    return_mode: str = "last"
+    # 'last': the output at the stop iteration (the reference's
+    #   ``get_DIP_out`` behavior);
+    # 'window_mean': the mean of the early-stop ring buffer (the last
+    #   ``buffer_size`` outputs) — a noise-averaged estimate the window
+    #   already pays for; typically recovers the overfitting dip between
+    #   the variance minimum and the stop iteration.  No reference
+    #   equivalent (quality improvement beyond the reference).
 
 
 @dataclasses.dataclass(frozen=True)

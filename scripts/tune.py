@@ -181,15 +181,90 @@ def sweep(image: str):
     log(f"sweep best: {best}")
 
 
+def sweep2(image: str):
+    """Round 2: mu grid around the round-1 winners (mu1 down / mu2 up),
+    window-mean DIP return, longer patience, and dictionary retrains."""
+    import dataclasses as dc
+
+    from lrs_pnp_dip_tpu.data.dictionary import (
+        extract_training_patches,
+        learn_dictionary,
+        load_trained_dictionary,
+    )
+    from lrs_pnp_dip_tpu.data.io import REFERENCE_IMAGES, load_reference_sample
+    from lrs_pnp_dip_tpu.utils.config import PRESETS
+
+    D = load_trained_dictionary()
+    base = PRESETS["dip"]()
+
+    exps = []
+    for mu1 in (0.003, 0.01, 0.03):
+        for mu2 in (0.1, 0.2, 0.3):
+            if (mu1, mu2) == (0.01, 0.1):
+                continue  # round 1 already measured 41.709
+            exps.append((f"mu{mu1}_{mu2}", dc.replace(base, mu1=mu1, mu2=mu2)))
+    best_mu = dc.replace(base, mu1=0.01)
+    exps.append(
+        (
+            "mu0.01_winmean",
+            dc.replace(best_mu, dip=dc.replace(base.dip, return_mode="window_mean")),
+        )
+    )
+    exps.append(
+        (
+            "mu0.01_patience150",
+            dc.replace(best_mu, dip=dc.replace(base.dip, patience=150)),
+        )
+    )
+    exps.append(
+        (
+            "mu0.01_winmean_p150",
+            dc.replace(
+                best_mu,
+                dip=dc.replace(base.dip, return_mode="window_mean", patience=150),
+            ),
+        )
+    )
+    for name, cfg in exps:
+        try:
+            admm_run(name, image, cfg, D)
+        except Exception as e:
+            log(f"{name} FAILED: {type(e).__name__}: {e}")
+
+    # dictionary retrains: sparser codes / more atoms / K-SVD updates, each
+    # evaluated at the round-1 winning mu balance
+    cubes = [load_reference_sample(img, "mask1").clean for img in REFERENCE_IMAGES]
+    patches = extract_training_patches(cubes, stride=1)
+    for dname, kw in (
+        ("dict_lam0.01", dict(lam=0.01)),
+        ("dict_lam0.05", dict(lam=0.05)),
+        ("dict_k1024", dict(n_atoms=1024)),
+        ("dict_ksvd", dict(method="ksvd")),
+    ):
+        try:
+            t0 = time.time()
+            D2 = learn_dictionary(patches, **{**dict(n_atoms=512, lam=0.02,
+                n_outer=30, sparse_iters=40), **kw})
+            log(f"{dname}: trained in {time.time()-t0:.0f}s")
+            admm_run(dname + "_mu0.01", image, best_mu, D2)
+            admm_run(dname + "_mu0.1", image, base, D2)
+        except Exception as e:
+            log(f"{dname} FAILED: {type(e).__name__}: {e}")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", default="all", choices=("dipceil", "sweep", "all"))
+    ap.add_argument(
+        "--stage", default="all", choices=("dipceil", "sweep", "sweep2", "all")
+    )
     ap.add_argument("--image", default="img1")
     args = ap.parse_args()
     if args.stage in ("dipceil", "all"):
         dip_ceiling(args.image)
     if args.stage in ("sweep", "all"):
         sweep(args.image)
+    if args.stage == "sweep2":
+        sweep2(args.image)
 
 
 if __name__ == "__main__":

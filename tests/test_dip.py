@@ -118,3 +118,28 @@ def test_standalone_fit_find_best():
     assert res.losses.shape == (60,)
     assert float(res.losses[-1]) < float(res.losses[0])
     assert res.out.shape == target.shape
+
+
+def test_dip_window_mean_return_mode():
+    """return_mode='window_mean' returns the mean of the ES ring buffer —
+    including correct rescaling when the buffer never filled."""
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.random((1, 16, 16, 4)).astype(np.float32))
+    mask = jnp.ones((1, 16, 16, 1), jnp.float32)
+    inp = jnp.asarray(rng.random((1, 16, 16, 4)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    # buffer larger than the run: mean must still be over seen outputs only
+    cfg = DipConfig(num_iter=8, learning_rate=0.05, buffer_size=32,
+                    patience=1000, return_mode="window_mean")
+    res = jax.jit(make_dip_fit(_tiny_net(4), cfg))(key, inp, target, mask)
+    cfg_last = DipConfig(num_iter=8, learning_rate=0.05, buffer_size=32,
+                         patience=1000, return_mode="last")
+    res_last = jax.jit(make_dip_fit(_tiny_net(4), cfg_last))(key, inp, target, mask)
+    assert res.out.shape == target.shape
+    assert np.isfinite(np.asarray(res.out)).all()
+    # the window mean of 8 outputs differs from the last output alone,
+    # and sits in the convex hull scale-wise (no buffer_size/n_seen blowup)
+    assert not np.allclose(np.asarray(res.out), np.asarray(res_last.out))
+    assert float(jnp.abs(res.out).max()) <= float(
+        1.5 * jnp.abs(res_last.out).max() + 1.0
+    )
