@@ -111,8 +111,33 @@ def dip_1lip_preset(**overrides) -> SolverConfig:
     return dataclasses.replace(cfg, **overrides)
 
 
+def dip_tuned_preset(**overrides) -> SolverConfig:
+    """LRS-PnP-DIP retuned for the framework's own trained dictionary.
+
+    The reference's ``trained_dictionary.mat`` is a missing git-LFS blob
+    (SURVEY §0); with a substitute dictionary the faithful mu balance
+    over-weights the sparse prior and costs ~3 dB.  The reference itself
+    marks these as to-be-tuned ("regularization parameters, they should be
+    tuned to obtain the best performance", ``main_LRS_PnP_DIP_pro.py:322``).
+    Sweep results (artifacts/tune.jsonl): mu1 0.1->0.01, window-mean DIP
+    return, patience 150 recovers 38.8 -> ~41.8 dB on img1."""
+    cfg = dip_preset(
+        mu1=0.01,
+        dip=DipConfig(return_mode="window_mean", patience=150),
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
+def dip_1lip_tuned_preset(**overrides) -> SolverConfig:
+    """LRS-PnP-DIP(1-Lip) with the same retuned balance as `dip_tuned`."""
+    cfg = dataclasses.replace(dip_tuned_preset(), variant="dip_1lip", ln_lambda=1.0)
+    return dataclasses.replace(cfg, **overrides)
+
+
 PRESETS = {
     "lrs_pnp": lrs_pnp_preset,
     "dip": dip_preset,
     "dip_1lip": dip_1lip_preset,
+    "dip_tuned": dip_tuned_preset,
+    "dip_1lip_tuned": dip_1lip_tuned_preset,
 }

@@ -209,6 +209,10 @@ def main():
     # Flagship pairs first so a mid-session wedge still leaves the headline
     # numbers on disk; resume skips anything already complete.
     plan = [("dip", "img1", 250), ("dip_1lip", "img1", 250)]
+    for image in ("img1", "img2", "img3", "img4", "img5"):
+        plan.append(("dip_tuned", image, 250))
+    for image in ("img1", "img2", "img3", "img4", "img5"):
+        plan.append(("dip_1lip_tuned", image, 250))
     for image in ("img2", "img3", "img4", "img5"):
         plan.append(("dip", image, 250))
     for image in ("img2", "img3", "img4", "img5"):

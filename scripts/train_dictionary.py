@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--outer", type=int, default=30)
     ap.add_argument("--sparse-iters", type=int, default=40)
     ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--method", default="ksvd", choices=("mod", "ksvd"))
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -57,6 +58,7 @@ def main():
         lam=args.lam,
         n_outer=outer,
         sparse_iters=args.sparse_iters,
+        method=args.method,
     )
     # report reconstruction quality on held-out-ish patches
     import jax.numpy as jnp
