@@ -281,12 +281,54 @@ def sweep_img4(image: str = "img4"):
             log(f"{name} FAILED: {type(e).__name__}: {e}")
 
 
+def sweep4():
+    """Round 4: per-variant parity everywhere.  (a) the non-lip DIP variant
+    trails the reference's DIP-pro figures on img2/img3 — try the window-mean
+    return and a heavier low-rank weight at the faithful mu1=0.1 that won for
+    the K-SVD dictionary; (b) push SSIM on img4/img5 with the mu2 that fixed
+    img4's MPSNR."""
+    import dataclasses as dc
+
+    from lrs_pnp_dip_tpu.data.dictionary import load_trained_dictionary
+    from lrs_pnp_dip_tpu.utils.config import PRESETS
+
+    D = load_trained_dictionary()
+    dip = PRESETS["dip"]()
+    lip = PRESETS["dip_1lip_tuned"]()
+
+    def dip_with(**kw):
+        return dc.replace(dip, dip=dc.replace(dip.dip, **kw))
+
+    exps = []
+    for image in ("img2", "img3"):
+        exps += [
+            (f"dip_winmean_{image}", image, dip_with(return_mode="window_mean")),
+            (
+                f"dip_winmean_p150_{image}",
+                image,
+                dip_with(return_mode="window_mean", patience=150),
+            ),
+            (f"dip_mu2_0.2_{image}", image, dc.replace(dip, mu2=0.2)),
+            (f"dip_seed1_{image}", image, dc.replace(dip, seed=1)),
+        ]
+    for image in ("img5",):  # img4 mu2 variants already ran in sweep_img4
+        exps += [
+            (f"1lip_tuned_mu2_0.2_{image}", image, dc.replace(lip, mu2=0.2)),
+            (f"1lip_tuned_mu2_0.3_{image}", image, dc.replace(lip, mu2=0.3)),
+        ]
+    for name, image, cfg in exps:
+        try:
+            admm_run(name, image, cfg, D)
+        except Exception as e:
+            log(f"{name} FAILED: {type(e).__name__}: {e}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--stage",
         default="all",
-        choices=("dipceil", "sweep", "sweep2", "sweep_img4", "all"),
+        choices=("dipceil", "sweep", "sweep2", "sweep_img4", "sweep4", "all"),
     )
     ap.add_argument("--image", default="img1")
     args = ap.parse_args()
