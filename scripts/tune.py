@@ -340,6 +340,8 @@ def main():
         sweep2(args.image)
     if args.stage == "sweep_img4":
         sweep_img4(args.image)
+    if args.stage == "sweep4":
+        sweep4()
 
 
 if __name__ == "__main__":
