@@ -28,14 +28,26 @@ def _auto_dictionary(sample: HsiSample, config: SolverConfig, n_atoms: int = 512
         except FileNotFoundError:
             pass
     # learn from the observed image itself (self-supervised, like the
-    # whole pipeline): use the noisy cube, which is all that exists
+    # whole pipeline): use the noisy cube, which is all that exists.
+    # Masked entries are excluded — fully-observed patches when enough
+    # exist, otherwise mask-aware learning (holes carry zero weight), so
+    # zero-filled holes never train into atoms.
     from .data.dictionary import extract_training_patches, learn_dictionary
 
-    patches = extract_training_patches(
-        [sample.noisy], block_size=config.block_size, stride=1
+    patches, mask_patches = extract_training_patches(
+        [sample.noisy], block_size=config.block_size, stride=1,
+        masks=[sample.mask],
     )
+    fully_observed = mask_patches.min(axis=0) > 0
+    n_full = int(fully_observed.sum())
+    if n_full >= max(64, patches.shape[1] // 4):
+        patches = patches[:, fully_observed]
+        mask_patches = None
     n_atoms = min(n_atoms, max(64, patches.shape[1] // 2))
-    return learn_dictionary(patches, n_atoms=n_atoms, n_outer=10, sparse_iters=20)
+    return learn_dictionary(
+        patches, n_atoms=n_atoms, n_outer=10, sparse_iters=20,
+        mask_patches=mask_patches,
+    )
 
 
 def inpaint(

@@ -19,7 +19,7 @@ the learned atoms live in exactly the space the PnP-ISTA stage needs.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -73,25 +73,83 @@ def extract_training_patches(
     cubes: Sequence[np.ndarray],
     block_size: int = 36,
     stride: int = 4,
-) -> np.ndarray:
+    masks: Optional[Sequence[np.ndarray]] = None,
+):
     """Spatio-spectral training patches from clean cubes.
 
     Each cube (H, W, B) is matricized to (H*W, B); patches are
     ``block_size`` consecutive pixel rows x ``block_size`` consecutive bands,
     flattened band-major to match the solver's block layout
     (:mod:`..ops.blocks`).  Returns (patch_dim, N).
+
+    If ``masks`` is given (one (H, W) observation mask per cube, 1 =
+    observed, broadcast over bands like the reference's mask handling,
+    ``main_LRS_PnP_DIP_pro.py:311-313``), additionally returns the matching
+    (patch_dim, N) mask patches so callers can exclude or down-weight
+    unobserved entries.
     """
     from .io import matricize
 
     cols = []
-    for cube in cubes:
+    mask_cols = []
+    for idx, cube in enumerate(cubes):
         Y = matricize(np.asarray(cube, dtype=np.float32))
         P, B = Y.shape
+        if masks is not None:
+            m2d = np.asarray(masks[idx], dtype=np.float32).reshape(-1)
+            M = np.broadcast_to(m2d[:, None], (P, B))
         for x in range(0, P - block_size + 1, stride * block_size):
             for y in range(0, B - block_size + 1, stride):
                 blk = Y[x : x + block_size, y : y + block_size]
                 cols.append(blk.T.reshape(-1))  # band-major flatten
-    return np.stack(cols, axis=1)
+                if masks is not None:
+                    mask_cols.append(M[x : x + block_size, y : y + block_size].T.reshape(-1))
+    patches = np.stack(cols, axis=1)
+    if masks is not None:
+        return patches, np.stack(mask_cols, axis=1)
+    return patches
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def _ista_code_masked(Y, M, D, lam, n_iter: int):
+    """Masked batched ISTA: min_Z 0.5||M (Y - D Z)||^2 + lam||Z||_1.
+
+    Unobserved entries (M == 0) contribute nothing to the gradient, so the
+    code is fit to the observed pixels only.
+    """
+    L = jnp.linalg.norm(D, ord=2) ** 2 + 1e-6
+    Z = jnp.zeros((D.shape[1], Y.shape[1]), Y.dtype)
+
+    def body(Z, _):
+        R = M * (Y - D @ Z)
+        G = Z + (D.T @ R) / L
+        Z = jnp.sign(G) * jnp.maximum(jnp.abs(G) - lam / L, 0.0)
+        return Z, None
+
+    Z, _ = jax.lax.scan(body, Z, None, length=n_iter)
+    return Z
+
+
+@functools.partial(jax.jit, static_argnames=("sparse_iters", "dict_steps"))
+def _masked_mod_step(Y, M, D, lam, sparse_iters: int, dict_steps: int = 8):
+    """One masked alternating-minimisation sweep.
+
+    The masked least-squares dictionary update has no batched closed form
+    (every pixel row p solves its own (Z W_p Z^T) system), so the update is
+    a few projected-gradient steps on 0.5||M (Y - D Z)||^2 with the step
+    size 1/||Z||_2^2, followed by column normalisation.
+    """
+    Z = _ista_code_masked(Y, M, D, lam, sparse_iters)
+    eta = 1.0 / (jnp.linalg.norm(Z, ord=2) ** 2 + 1e-6)
+
+    def body(D, _):
+        R = M * (Y - D @ Z)
+        return D + eta * (R @ Z.T), None
+
+    D, _ = jax.lax.scan(body, D, None, length=dict_steps)
+    norms = jnp.linalg.norm(D, axis=0, keepdims=True)
+    D = jnp.where(norms > 1e-8, D, D + 1e-3)  # revive collapsed atoms
+    return column_normalize(D)
 
 
 def load_trained_dictionary(n_atoms: int = 512) -> np.ndarray:
@@ -148,20 +206,36 @@ def learn_dictionary(
     sparse_iters: int = 30,
     seed: int = 0,
     method: str = "mod",
+    mask_patches: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Learn a (patch_dim, n_atoms) dictionary from (patch_dim, N) patches.
 
     ``method``: 'mod' (method of optimal directions; fast, batched) or
     'ksvd' (approximate K-SVD; per-atom rank-1 updates, the algorithm
     family the reference's MATLAB-era dictionary came from).
+
+    ``mask_patches`` (same shape as ``patches``, 1 = observed): when given,
+    learning is mask-aware — unobserved entries contribute to neither the
+    sparse codes nor the dictionary update, so zero-filled holes never
+    train into atoms.
     """
     patches = jnp.asarray(patches, dtype=jnp.float32)
     patch_dim, n = patches.shape
     rng = np.random.default_rng(seed)
-    # Initialise atoms from random training patches (standard KSVD init).
+    # Initialise atoms from random training patches (standard KSVD init);
+    # under a mask, unobserved entries are zeroed so hole contents can
+    # never leak into the initial atoms either.
     init_idx = rng.choice(n, size=n_atoms, replace=n < n_atoms)
-    D = column_normalize(patches[:, init_idx] + 1e-3 * jnp.asarray(
+    init_patches = patches
+    if mask_patches is not None:
+        init_patches = patches * jnp.asarray(mask_patches, dtype=jnp.float32)
+    D = column_normalize(init_patches[:, init_idx] + 1e-3 * jnp.asarray(
         rng.standard_normal((patch_dim, n_atoms)), dtype=jnp.float32))
+    if mask_patches is not None:
+        M = jnp.asarray(mask_patches, dtype=jnp.float32)
+        for _ in range(n_outer):
+            D = _masked_mod_step(patches, M, D, lam, sparse_iters)
+        return np.asarray(D)
     step = _mod_step if method == "mod" else _aksvd_step
     for _ in range(n_outer):
         D = step(patches, D, lam, sparse_iters)

@@ -55,6 +55,11 @@ def make_dip_fit(model: nn.Module, cfg: DipConfig = DipConfig()):
     ``dip_input``/``target``: (N, H, W, C); ``mask``: broadcastable to them
     (the observation mask; loss is computed on observed pixels only).
     """
+    if cfg.return_mode not in ("last", "window_mean"):
+        raise ValueError(
+            f"DipConfig.return_mode must be 'last' or 'window_mean', "
+            f"got {cfg.return_mode!r}"
+        )
     opt = optax.adam(cfg.learning_rate)
     cdtype = jnp.dtype(cfg.compute_dtype)
 

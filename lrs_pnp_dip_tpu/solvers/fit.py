@@ -51,6 +51,19 @@ class FitResult(NamedTuple):
     net_input: jnp.ndarray
 
 
+def find_best_update(loss, best_loss, best_params, eval_params, rel: float = 1.005):
+    """Snapshot rule of reference ``include/fit.py:133``: keep the params a
+    loss was computed at only when it improves the best by >= (rel-1)
+    (``if best_mse > 1.005*loss.data``).  A loss merely close to the best
+    must NOT overwrite the snapshot."""
+    improved = loss * rel < best_loss
+    best_loss = jnp.where(improved, loss, best_loss)
+    best_params = jax.tree.map(
+        lambda b, p: jnp.where(improved, p, b), best_params, eval_params
+    )
+    return best_loss, best_params
+
+
 def fit(
     model: nn.Module,
     key,
@@ -114,6 +127,7 @@ def fit(
         std = cfg.reg_noise_std * (cfg.reg_noise_decay ** decay_steps.astype(jnp.float32))
         noise = std * jax.random.normal(sub, net_input.shape)
         (loss, (out, new_state)), grads = grad_fn(leaves, model_state, noise)
+        eval_params = leaves["params"]  # params the loss was computed at
         if cfg.optimizer == "lbfgs":
             updates, opt_state = opt.update(
                 grads, opt_state, leaves, value=loss, grad=grads,
@@ -122,11 +136,10 @@ def fit(
         else:
             updates, opt_state = opt.update(grads, opt_state, leaves)
         leaves = optax.apply_updates(leaves, updates)
-        improved = loss < best_loss * 1.01 if cfg.find_best else False
-        best_loss = jnp.where(improved, jnp.minimum(loss, best_loss), best_loss)
-        best_params = jax.tree.map(
-            lambda b, p: jnp.where(improved, p, b), best_params, leaves["params"]
-        )
+        if cfg.find_best:
+            best_loss, best_params = find_best_update(
+                loss, best_loss, best_params, eval_params
+            )
         return (leaves, new_state, opt_state, best_loss, best_params, nkey), (loss, out)
 
     carry0 = (leaves, model_state, opt_state, jnp.asarray(jnp.inf), params, noise_key)

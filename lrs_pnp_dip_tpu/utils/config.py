@@ -121,9 +121,9 @@ def dip_tuned_preset(**overrides) -> SolverConfig:
     tuned to obtain the best performance", ``main_LRS_PnP_DIP_pro.py:322``).
     Sweep results (artifacts/tune.jsonl): mu1 0.1->0.01, window-mean DIP
     return, patience 150 recovers 38.8 -> ~41.8 dB on img1."""
-    cfg = dip_preset(
-        mu1=0.01,
-        dip=DipConfig(return_mode="window_mean", patience=150),
+    base = dip_preset(mu1=0.01)
+    cfg = dataclasses.replace(
+        base, dip=dataclasses.replace(base.dip, return_mode="window_mean", patience=150)
     )
     return dataclasses.replace(cfg, **overrides)
 

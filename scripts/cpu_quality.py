@@ -25,8 +25,12 @@ def main():
     root = os.path.join(os.path.dirname(__file__), "..")
     runs_dir = os.path.join(root, "artifacts", "runs")
     os.makedirs(runs_dir, exist_ok=True)
-    with open(os.path.join(root, "artifacts", "cpu_quality.pid"), "w") as f:
+    pid_path = os.path.join(root, "artifacts", "cpu_quality.pid")
+    with open(pid_path, "w") as f:
         f.write(str(os.getpid()))
+    import atexit
+
+    atexit.register(lambda: os.path.exists(pid_path) and os.remove(pid_path))
     args = sys.argv[1:]
     if args and args[0] == "--plan":
         plan = []

@@ -100,12 +100,35 @@ def bench_sparse_prox(out_path):
     log(f"bench result: {result}")
 
 
-def run_complete(path, n_iters):
-    """True if a previous session already finished this run."""
+def _read_rows(path):
+    """Parse a run jsonl, skipping unparsable lines (e.g. a final line
+    truncated by a killed writer) and any meta/header records."""
+    rows = []
+    meta = None
     if not os.path.exists(path):
-        return False
+        return rows, meta
     with open(path) as f:
-        return sum(1 for _ in f) >= n_iters
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # truncated tail -> just fewer complete rows
+            if "meta" in rec:
+                meta = rec["meta"]
+            else:
+                rows.append(rec)
+    return rows, meta
+
+
+def _run_stamp(cfg, D):
+    """Hash of the preset + dictionary that produced a run, so resumes
+    never silently reuse results from an older config."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(repr(cfg).encode())
+    h.update(np.ascontiguousarray(D, dtype=np.float32).tobytes())
+    return h.hexdigest()[:16]
 
 
 def quality_run(variant, image, n_iters, runs_dir):
@@ -116,21 +139,26 @@ def quality_run(variant, image, n_iters, runs_dir):
     from lrs_pnp_dip_tpu.solvers import Solver
     from lrs_pnp_dip_tpu.utils.config import PRESETS
 
+    sample = load_reference_pair(image)
+    D = load_trained_dictionary()
+    cfg = PRESETS[variant]()
+    stamp = _run_stamp(cfg, D)
+
     path = os.path.join(runs_dir, f"{variant}_{image}.jsonl")
-    if run_complete(path, n_iters):
-        rows = [json.loads(l) for l in open(path)]
+    rows, meta = _read_rows(path)
+    # Unstamped files are round-1 runs of the same presets: accept them.
+    if len(rows) >= n_iters and (meta is None or meta.get("stamp") == stamp):
         best_row = max(rows, key=lambda r: r["mpsnr"])
         log(f"{variant}/{image}: already complete, skipping")
         return (best_row["mpsnr"], best_row["iter"], best_row["ssim"])
 
-    sample = load_reference_pair(image)
-    D = load_trained_dictionary()
-    cfg = PRESETS[variant]()
     solver = Solver(sample, D, cfg)
     state = solver.init_state()
     best = (-1e9, -1, 0.0)
     t_start = time.time()
     with open(path, "w") as f:
+        f.write(json.dumps({"meta": {"stamp": stamp, "variant": variant,
+                                     "image": image}}) + "\n")
         for i in range(n_iters):
             state, aux = solver.step(state)
             rec = {

@@ -11,9 +11,14 @@ while true; do
     # stop the CPU fallback session (if one is running) so the two never
     # write the same artifacts/runs files; PID recorded by cpu_quality.py
     if [ -f artifacts/cpu_quality.pid ]; then
-      kill "$(cat artifacts/cpu_quality.pid)" 2>/dev/null
+      pid=$(cat artifacts/cpu_quality.pid)
+      # only kill if the PID is still the cpu_quality process (a stale pid
+      # file after PID reuse must never take down an unrelated process)
+      if [ -n "$pid" ] && grep -q "cpu_quality" "/proc/$pid/cmdline" 2>/dev/null; then
+        kill "$pid" 2>/dev/null
+        sleep 5
+      fi
       rm -f artifacts/cpu_quality.pid
-      sleep 5
     fi
     python -u scripts/tpu_session.py
     rc=$?

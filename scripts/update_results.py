@@ -6,7 +6,14 @@ def main():
     ap.add_argument("jsonl")
     ap.add_argument("--every", type=int, default=5)
     args = ap.parse_args()
-    rows = [json.loads(l) for l in open(args.jsonl)]
+    rows = []
+    for l in open(args.jsonl):
+        try:
+            rec = json.loads(l)
+        except json.JSONDecodeError:
+            continue  # truncated tail line
+        if "meta" not in rec:
+            rows.append(rec)
     print("| Outer iter | MPSNR | MSSIM | DIP iters |")
     print("|---|---|---|---|")
     for r in rows:

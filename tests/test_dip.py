@@ -120,6 +120,56 @@ def test_standalone_fit_find_best():
     assert res.out.shape == target.shape
 
 
+def test_find_best_requires_improvement():
+    """Reference include/fit.py:133 takes a snapshot only on a >=0.5%
+    improvement — a loss merely within 1% of the best must NOT overwrite
+    the stored best params (round-1 bug: ``loss < best*1.01`` accepted
+    regressions)."""
+    from lrs_pnp_dip_tpu.solvers.fit import find_best_update
+
+    best_loss = jnp.asarray(jnp.inf)
+    best_params = {"w": jnp.asarray(-1.0)}
+    # (loss, params-tag) sequence: 0.999 and 0.502 are close-but-worse and
+    # must be rejected; 1.0, 0.5, 0.4 are real improvements.
+    seq = [(1.0, 0.0), (0.999, 1.0), (0.5, 2.0), (0.502, 3.0), (0.4, 4.0)]
+    kept = []
+    for loss, tag in seq:
+        best_loss, best_params = find_best_update(
+            jnp.asarray(loss), best_loss, best_params, {"w": jnp.asarray(tag)}
+        )
+        kept.append(float(best_params["w"]))
+    assert kept == [0.0, 0.0, 2.0, 2.0, 4.0]
+    assert abs(float(best_loss) - 0.4) < 1e-6
+
+
+def test_fit_best_params_not_worse_than_min_loss():
+    """End-to-end: the loss at the returned best_params may exceed the
+    minimum recorded loss by at most the 0.5% snapshot threshold."""
+    rng = np.random.default_rng(7)
+    target = jnp.asarray(rng.random((1, 16, 16, 2)).astype(np.float32))
+    inp = jnp.asarray(rng.random((1, 16, 16, 2)).astype(np.float32))
+    model = _tiny_net(2)
+    res = fit(
+        model,
+        jax.random.PRNGKey(0),
+        inp,
+        target,
+        config=FitConfig(num_iter=60, lr=0.05, find_best=True),
+    )
+    out_best = model.apply({"params": res.best_params}, inp)
+    loss_best = float(jnp.mean((out_best - target) ** 2))
+    assert loss_best <= 1.005 * float(res.losses.min()) + 1e-7
+
+
+def test_dip_return_mode_validated():
+    import pytest
+
+    from lrs_pnp_dip_tpu.solvers.dip import make_dip_fit
+
+    with pytest.raises(ValueError, match="return_mode"):
+        make_dip_fit(_tiny_net(4), DipConfig(return_mode="window-mean"))
+
+
 def test_dip_window_mean_return_mode():
     """return_mode='window_mean' returns the mean of the ES ring buffer —
     including correct rescaling when the buffer never filled."""
