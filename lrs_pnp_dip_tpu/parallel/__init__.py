@@ -3,7 +3,9 @@ from .sharding import consts_sharding, replicate, state_sharding
 from .collectives import (
     distributed_gram,
     distributed_svt,
+    distributed_svt_2d,
     make_distributed_svt,
+    make_distributed_svt_2d,
     make_sharded_sparse_prox,
 )
 from .engine import ShardedSolver
@@ -16,7 +18,9 @@ __all__ = [
     "replicate",
     "distributed_gram",
     "distributed_svt",
+    "distributed_svt_2d",
     "make_distributed_svt",
+    "make_distributed_svt_2d",
     "make_sharded_sparse_prox",
     "ShardedSolver",
 ]

@@ -42,6 +42,66 @@ def distributed_svt(X_local: jnp.ndarray, tau, axis: str) -> jnp.ndarray:
     return _svt_from_gram(X_local, G, tau)
 
 
+def distributed_svt_2d(
+    X_local: jnp.ndarray, tau, patch_axis: str, band_axis: str
+) -> jnp.ndarray:
+    """SVT of an iterate sharded over BOTH pixel rows and band columns.
+
+    The second distribution dimension from SURVEY §2.5 (SP row): for
+    B >> 128 workloads the (P, B) iterate is laid out on a 2-D
+    ``{patch, band}`` mesh as (P/p, B/b) local tiles.  Collectives per
+    call (all riding ICI):
+
+      * one ``all_gather`` of the local tile over ``band`` — each device
+        materialises its full (P/p, B) row-slab (O(P/p * B) floats);
+      * one ``psum`` of the B x B Gram over ``patch``;
+      * the B x B eigh + spectral filter replicated on every device;
+      * the recompose ``Xg @ W[:, cols]`` keeps only the device's own
+        band columns, so the output stays (P/p, B/b) — no second gather.
+
+    Generalises the reference's LAPACK SVT (``main_LRS_PnP.py:118-124``)
+    to a mesh the same way :func:`distributed_svt` does for pure row
+    sharding; exact (not approximate) for any tile layout.
+    """
+    Xg = jax.lax.all_gather(X_local, band_axis, axis=1, tiled=True)
+    G = jax.lax.psum(Xg.T @ Xg, patch_axis)
+    w, V = jnp.linalg.eigh(G)
+    s = jnp.sqrt(jnp.maximum(w, 0.0))
+    eps = 1e-12
+    ratio = jnp.where(s > eps, soft_threshold(s, tau) / jnp.maximum(s, eps), 0.0)
+    W = (V * ratio[None, :]) @ V.T
+    b_cols = X_local.shape[1]
+    j = jax.lax.axis_index(band_axis)
+    W_cols = jax.lax.dynamic_slice_in_dim(W, j * b_cols, b_cols, axis=1)
+    return Xg @ W_cols
+
+
+def make_distributed_svt_2d(
+    mesh: Mesh, patch_axis: str = "patch", band_axis: str = "band"
+) -> Callable:
+    """``ops.svt.svt_gram`` drop-in over a 2-D {patch, band} mesh: X rows
+    sharded on ``patch_axis``, columns on ``band_axis``, result sharded the
+    same way."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(patch_axis, band_axis), P()),
+        out_specs=P(patch_axis, band_axis),
+    )
+    def _svt(X_local, tau):
+        return distributed_svt_2d(X_local, tau.reshape(()), patch_axis, band_axis)
+
+    def svt_fn(X, tau):
+        return _svt(X, jnp.asarray(tau, jnp.float32).reshape(1))
+
+    return svt_fn
+
+
 def make_sharded_sparse_prox(mesh: Mesh, cfg, axis: str = "patch") -> Callable:
     """Sparse-coding prox as an explicit shard_map over the block axis.
 

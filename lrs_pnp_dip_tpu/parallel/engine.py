@@ -30,7 +30,11 @@ from ..solvers.admm import (
 )
 from ..solvers.batch import stack_consts, stack_states
 from ..utils.config import SolverConfig
-from .collectives import make_distributed_svt, make_sharded_sparse_prox
+from .collectives import (
+    make_distributed_svt,
+    make_distributed_svt_2d,
+    make_sharded_sparse_prox,
+)
 from .sharding import aux_sharding, consts_sharding, state_sharding
 
 
@@ -57,7 +61,10 @@ class ShardedSolver:
         sparse_prox_fn = None
         if not self.batched and "patch" in mesh.axis_names:
             if use_collective_svt and config.variant == "lrs_pnp":
-                svt_fn = make_distributed_svt(mesh, "patch")
+                if "band" in mesh.axis_names:
+                    svt_fn = make_distributed_svt_2d(mesh, "patch", "band")
+                else:
+                    svt_fn = make_distributed_svt(mesh, "patch")
             # explicit shard_map over the block axis — lets each shard run
             # the fused Pallas kernel on TPU instead of relying on GSPMD
             # to partition the scan

@@ -33,17 +33,23 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return _ns(mesh)
 
 
+def _band(mesh: Mesh):
+    """Trailing-dim axis name for (P, B) matrices: ``band`` when the mesh
+    has one (2-D band+patch layout, SURVEY §2.5 SP row), else unsharded."""
+    return "band" if "band" in mesh.axis_names else None
+
+
 def state_sharding(mesh: Mesh, batched: bool = False) -> SolverState:
     """Shardings for SolverState. ``batched`` adds a leading data axis."""
     lead = ("data",) if batched else ()
-    mat = _ns(mesh, *lead, "patch")
+    mat = _ns(mesh, *lead, "patch", _band(mesh))
     rep = _ns(mesh, *lead) if batched else replicate(mesh)
     return SolverState(X=mat, lambda1=mat, lambda2=mat, key=rep, itr=rep)
 
 
 def consts_sharding(mesh: Mesh, batched: bool = False) -> ProblemConsts:
     lead = ("data",) if batched else ()
-    mat = _ns(mesh, *lead, "patch")
+    mat = _ns(mesh, *lead, "patch", _band(mesh))
     blocks = _ns(mesh, *lead, "patch")
     rep = _ns(mesh, *lead) if batched else replicate(mesh)
     return ProblemConsts(
@@ -59,7 +65,7 @@ def consts_sharding(mesh: Mesh, batched: bool = False) -> ProblemConsts:
 
 def aux_sharding(mesh: Mesh, batched: bool = False) -> StepAux:
     lead = ("data",) if batched else ()
-    mat = _ns(mesh, *lead, "patch")
+    mat = _ns(mesh, *lead, "patch", _band(mesh))
     rep = _ns(mesh, *lead) if batched else replicate(mesh)
     return StepAux(
         mpsnr=rep, ssim=rep, x_dist=rep, l1_dist=rep, l2_dist=rep,

@@ -7,7 +7,12 @@ from lrs_pnp_dip_tpu.data import random_dictionary
 from lrs_pnp_dip_tpu.data.masks import synthetic_sample
 from lrs_pnp_dip_tpu.ops.ista import SparseProxConfig
 from lrs_pnp_dip_tpu.ops.svt import svt_gram
-from lrs_pnp_dip_tpu.parallel import ShardedSolver, make_distributed_svt, make_mesh
+from lrs_pnp_dip_tpu.parallel import (
+    ShardedSolver,
+    make_distributed_svt,
+    make_distributed_svt_2d,
+    make_mesh,
+)
 from lrs_pnp_dip_tpu.solvers import Solver
 from lrs_pnp_dip_tpu.solvers.batch import BatchedSolver
 from lrs_pnp_dip_tpu.solvers.dip import DipConfig
@@ -108,3 +113,29 @@ def test_sharded_batched_dip_runs():
     st, hist = solver.run()
     assert np.isfinite(np.asarray(st.X)).all()
     assert np.asarray(hist["mpsnr"]).shape == (1, 2)
+
+
+def test_distributed_svt_2d_matches_single(rng):
+    """Band+patch 2-D sharded SVT == svt_gram (the second distribution
+    dimension, SURVEY §2.5 SP row / VERDICT round-1 item 2)."""
+    mesh = make_mesh({"patch": 2, "band": 4})
+    X = jnp.asarray(rng.standard_normal((128, 16)).astype(np.float32))
+    svt_fn = make_distributed_svt_2d(mesh, "patch", "band")
+    ours = np.asarray(svt_fn(X, 0.5))
+    expect = np.asarray(svt_gram(X, 0.5))
+    np.testing.assert_allclose(ours, expect, atol=2e-4)
+
+
+def test_banded_sharded_solver_matches_single_device():
+    """lrs_pnp on a 2-D {patch: 2, band: 4} mesh reproduces the
+    single-device trajectory (iterate sharded on BOTH axes)."""
+    s = synthetic_sample(height=16, width=16, bands=16, missing=0.1, seed=7)
+    D = random_dictionary(64, 32, seed=2)
+    cfg = _cfg()
+    single = Solver(s, D, cfg)
+    st1, h1 = single.run()
+    mesh = make_mesh({"patch": 2, "band": 4})
+    sharded = ShardedSolver(s, D, cfg, mesh)
+    st2, h2 = sharded.run()
+    np.testing.assert_allclose(np.asarray(st1.X), np.asarray(st2.X), atol=5e-4)
+    np.testing.assert_allclose(h1["mpsnr"], np.asarray(h2["mpsnr"]).ravel(), atol=1e-2)
