@@ -1,4 +1,5 @@
-"""Benchmark harness — prints ONE JSON line with the headline metric.
+"""Benchmark harness — prints ONE JSON line with the headline metric and
+writes the full measurement record to ``artifacts/bench_full.json``.
 
 Headline: PnP-ISTA block-iterations/sec of the sparse-coding prox (the
 reference's dominant hot loop: 144 blocks x Nit ISTA steps x NLM per outer
@@ -7,8 +8,26 @@ iteration, run serially on CPU in the reference,
 this chip over the same optimized code on the host CPU (BASELINE.json
 target: >= 5x per chip vs CPU).
 
-Usage:  python bench.py [--quick] [--json-only]
-Extra diagnostics (DIP step time, full outer-iteration time) go to stderr.
+Round-2 redesign (VERDICT items 1 + 10):
+
+* The headline is measured as pure DEVICE time — R chained prox
+  applications inside one ``lax.scan`` (one dispatch), so the per-call
+  tunnel/dispatch overhead of this environment (~5 ms per host->device
+  round trip) no longer contaminates the number.  The round-1 3.5x spread
+  (8.4 M vs 2.4 M block-iters/s) was exactly this: 1.8 ms of device work
+  measured behind a 4-6 ms dispatch path.  Both numbers are now recorded
+  separately (``device_ms`` vs ``dispatch_ms``).
+* Alongside the microkernel the harness times the reference's OTHER hot
+  loop (the DIP prox, ``main_LRS_PnP_DIP_pro.py:409-420``): per-Adam-step
+  time on the skip-128 net, a full LRS-PnP-DIP outer iteration, and a
+  10-iteration ``run_scanned`` sustained throughput.
+* An MFU estimate for the fused Pallas kernel from its analytic cost
+  model (``ops/ista_pallas.py`` CostEstimate) vs the chip's bf16 peak.
+* Every record carries run metadata (device, reps, per-rep times, std),
+  and the full record is kept in ``artifacts/bench_full.json``.
+
+Usage:  python bench.py [--quick] [--skip-cpu] [--watchdog SECONDS]
+Headline JSON goes to stdout; everything else to stderr.
 """
 
 from __future__ import annotations
@@ -16,30 +35,60 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
 import numpy as np
 
+_ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+_LAST_RESULT = os.path.join(_ART, "bench_last.json")
+_FULL_RESULT = os.path.join(_ART, "bench_full.json")
 
-def _time_fn(fn, *args, warmup=1, iters=3):
+# v5e MXU peak (bf16 FMA); the kernels run f32, so this is a conservative
+# utilization denominator — reported as such, not as a hardware claim.
+_BF16_PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
+_DEFAULT_PEAK = 197e12
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _force(x) -> float:
+    """Fetch a device SCALAR to the host — the only reliable sync on the
+    axon tunnel backend, where ``jax.block_until_ready`` returns while the
+    execution is still queued (discovered diagnosing the round-1 bench
+    variance: 'device times' of microseconds for milliseconds of MXU work).
+    Every timed closure must therefore reduce its result to a scalar."""
+    v = np.asarray(x)
+    assert v.size == 1, f"timed fns must return a scalar, got shape {v.shape}"
+    return float(v.reshape(()))
+
+
+def _timed_reps(fn, *args, warmup=2, reps=3):
+    """Call fn reps times (after warmup), syncing each via a scalar fetch;
+    returns list of seconds.  Each sample includes one host round-trip —
+    amortize it with chained work when measuring device throughput."""
     for _ in range(warmup):
-        r = fn(*args)
-    _block(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*args)
-    _block(r)
-    return (time.perf_counter() - t0) / iters
+        _force(fn(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _force(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return times
 
 
-def _block(x):
-    import jax
-
-    jax.block_until_ready(x)
-
-
-_LAST_RESULT = os.path.join(os.path.dirname(__file__), "artifacts", "bench_last.json")
+def _stats(times):
+    return {
+        "reps": len(times),
+        "min_ms": round(min(times) * 1e3, 4),
+        "median_ms": round(statistics.median(times) * 1e3, 4),
+        "mean_ms": round(statistics.mean(times) * 1e3, 4),
+        "std_ms": round(statistics.pstdev(times) * 1e3, 4),
+        "times_ms": [round(t * 1e3, 4) for t in times],
+    }
 
 
 def _watchdog(seconds: int):
@@ -76,80 +125,293 @@ def _watchdog(seconds: int):
     return t
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--quick", action="store_true", help="fewer timing reps")
-    p.add_argument("--skip-cpu", action="store_true", help="reuse stored CPU baseline")
-    p.add_argument("--watchdog", type=int, default=480, help="seconds before wedge fallback")
-    args = p.parse_args()
-    wd = _watchdog(args.watchdog)
-
-    import jax
-    import jax.numpy as jnp
-
+def _problem():
+    """The reference flagship problem: 36x36x128 cube, 144 blocks of 1296
+    pixels, Nit=100, K=512 atoms (``main_LRS_PnP_DIP_pro.py:306,340-341``)."""
     from lrs_pnp_dip_tpu.data import random_dictionary
-    from lrs_pnp_dip_tpu.data.io import load_reference_sample, reference_data_available
+    from lrs_pnp_dip_tpu.data.io import (
+        load_reference_sample,
+        matricize,
+        reference_data_available,
+    )
     from lrs_pnp_dip_tpu.data.masks import synthetic_sample
-    from lrs_pnp_dip_tpu.ops.blocks import block_grid, extract_blocks
-    from lrs_pnp_dip_tpu.ops.ista import SparseProxConfig, sparse_prox
-    from lrs_pnp_dip_tpu.data.io import matricize
 
-    iters = 2 if args.quick else 5
-
-    # Problem: the reference flagship config — 36x36x128 cube, 144 blocks,
-    # Nit=100 ISTA iterations, K=512 atoms.
     if reference_data_available():
         sample = load_reference_sample("img1", "mask1")
     else:
         sample = synthetic_sample(36, 36, 128, missing=0.05)
+    dict_path = os.path.join(_ART, "dictionary_36x36_k512.npz")
+    if os.path.exists(dict_path):
+        D = np.load(dict_path)["dictionary"].astype(np.float32)
+    else:
+        D = random_dictionary(36 * 36, 512, seed=0)
     Y = np.asarray(matricize(sample.noisy), np.float32)
-    D = random_dictionary(36 * 36, 512, seed=0)
+    return sample, Y, D
+
+
+def bench_sparse_prox(device, Y, D, n_ista, chain, reps):
+    """Sparse prox on one device: device time (scan-chained, one dispatch)
+    and single-call dispatch time."""
+    import jax
+    import jax.numpy as jnp
+
+    from lrs_pnp_dip_tpu.ops.blocks import block_grid, extract_blocks
+    from lrs_pnp_dip_tpu.ops.ista import SparseProxConfig, sparse_prox
+
+    backend = "pallas" if device.platform not in ("cpu", "gpu") else "xla"
+    cfg = SparseProxConfig(n_iter=n_ista, alpha_mode="trace4", backend=backend)
     grid = block_grid(Y.shape, 36, 36)
+    Yd = jax.device_put(jnp.asarray(Y), device)
+    Dd = jax.device_put(jnp.asarray(D), device)
+    blocks = extract_blocks(Yd, grid)
+    mask_blocks = (blocks != 0).astype(jnp.float32)
 
-    def bench_on(device):
-        backend = "pallas" if device.platform not in ("cpu", "gpu") else "xla"
-        cfg = SparseProxConfig(n_iter=100, alpha_mode="trace4", backend=backend)
-        Yd = jax.device_put(jnp.asarray(Y), device)
-        Dd = jax.device_put(jnp.asarray(D), device)
-        blocks = extract_blocks(Yd, grid)
-        mask_blocks = (blocks != 0).astype(jnp.float32)
-        fn = jax.jit(lambda b, m, d: sparse_prox(b, m, d, cfg))
-        t = _time_fn(fn, blocks, mask_blocks, Dd, warmup=1, iters=iters)
-        return t
+    single = jax.jit(lambda b, m, d: sparse_prox(b, m, d, cfg).sum())
 
-    n_ista_iters = 100
+    # device-time: R chained proxes in ONE dispatch; each iteration's input
+    # depends on the previous output, so nothing can be elided, and the
+    # final sum() is the scalar the timing loop fetches to sync.
+    def chained(b, m, d):
+        def body(carry, _):
+            return sparse_prox(carry, m, d, cfg), ()
+
+        out, _ = jax.lax.scan(body, b, None, length=chain)
+        return out.sum()
+
+    chained_j = jax.jit(chained)
+
+    t0 = time.perf_counter()
+    _force(chained_j(blocks, mask_blocks, Dd))
+    compile_s = time.perf_counter() - t0
+
+    times_chain = _timed_reps(chained_j, blocks, mask_blocks, Dd, warmup=1, reps=reps)
+    times_single = _timed_reps(single, blocks, mask_blocks, Dd, warmup=1, reps=reps)
+
+    # one dispatch + scalar-fetch round trip, to split tunnel latency out
+    # of the chained measurement
+    noop = jax.jit(lambda x: x + 1.0)
+    x0 = jax.device_put(jnp.float32(1.0), device)
+    roundtrip_s = min(_timed_reps(noop, x0, warmup=2, reps=max(3, reps)))
+
+    device_s = max(min(times_chain) - roundtrip_s, 1e-9) / chain
+    n_blocks = grid.n_blocks
+    rec = {
+        "roundtrip_ms": round(roundtrip_s * 1e3, 4),
+        "backend": cfg.backend,
+        "platform": device.platform,
+        "device_kind": getattr(device, "device_kind", device.platform),
+        "n_blocks": n_blocks,
+        "n_ista": n_ista,
+        "chain_length": chain,
+        "compile_s": round(compile_s, 2),
+        "device_ms": round(device_s * 1e3, 4),
+        "dispatch_ms": _stats(times_single),
+        "chained": _stats(times_chain),
+        "block_iters_per_sec": round(n_blocks * n_ista / device_s, 1),
+    }
+    # MFU from the Pallas kernel's analytic cost model: the two MXU
+    # matmuls per ISTA iteration, 4*nB*P*K flops each iteration
+    # (ops/ista_pallas.py CostEstimate).
+    P, K = D.shape
+    flops = 4.0 * n_blocks * P * K * n_ista
+    achieved = flops / device_s
+    peak = _BF16_PEAK_FLOPS.get(rec["device_kind"], _DEFAULT_PEAK)
+    rec["achieved_tflops"] = round(achieved / 1e12, 3)
+    rec["mfu_vs_bf16_peak"] = round(achieved / peak, 4)
+    return rec
+
+
+def bench_dip(sample, reps, quick):
+    """The DIP prox (hot loop #2, ``main_LRS_PnP_DIP_pro.py:409-420``):
+    per-Adam-step device time on the skip-128 net (fixed 200-step budget,
+    early stop disabled so the step count is exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lrs_pnp_dip_tpu.models import dip_skip_128
+    from lrs_pnp_dip_tpu.solvers.dip import DipConfig, make_dip_fit
+
+    n_steps = 50 if quick else 200
+    cfg = DipConfig(
+        num_iter=n_steps,
+        learning_rate=0.1,
+        buffer_size=30,
+        patience=10 * n_steps,  # never fires
+    )
+    model = dip_skip_128(sample.shape[2])
+    fit_fn = make_dip_fit(model, cfg)
+    fit = jax.jit(lambda k, xi, t, m: fit_fn(k, xi, t, m).loss)
+    x = jnp.asarray(sample.noisy)[None]  # (1, H, W, B)
+    mask = jnp.asarray(sample.mask)[None, ..., None]
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    _force(fit(key, x, x, mask))
+    compile_s = time.perf_counter() - t0
+    times = _timed_reps(fit, key, x, x, mask, warmup=1, reps=reps)
+    per_step_ms = min(times) / n_steps * 1e3
+    return {
+        "net": "skip-128",
+        "n_steps": n_steps,
+        "compile_s": round(compile_s, 2),
+        "fit": _stats(times),
+        "adam_step_ms": round(per_step_ms, 4),
+        "adam_steps_per_sec": round(n_steps / min(times), 1),
+    }
+
+
+def bench_outer(sample, D, reps, quick):
+    """Full LRS-PnP-DIP outer iteration (sparse prox + DIP + X update +
+    duals + metrics) and sustained run_scanned throughput."""
+    import jax
+
+    from lrs_pnp_dip_tpu.solvers import Solver
+    from lrs_pnp_dip_tpu.utils.config import dip_preset
+
+    cfg = dip_preset()
+    solver = Solver(sample, D, cfg)
+    state = solver.init_state()
+
+    t0 = time.perf_counter()
+    st, aux = solver.step(state)
+    dip_iters = int(np.asarray(aux.dip_iters))  # forces completion
+    compile_s = time.perf_counter() - t0
+    times = _timed_reps(lambda s: solver.step(s)[0].X.sum(), state, warmup=1, reps=reps)
+
+    n_scan = 5 if quick else 10
+    t0 = time.perf_counter()
+    final, hist = solver.run_scanned(n_scan, state=state)  # hist fetch syncs
+    scan_compile_plus_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    final, hist = solver.run_scanned(n_scan, state=state)
+    scan_s = time.perf_counter() - t0
+
+    return {
+        "variant": "dip (faithful preset)",
+        "compile_s": round(compile_s, 2),
+        "outer_iter": _stats(times),
+        "dip_iters_first_step": dip_iters,
+        "scan_iters": n_scan,
+        "scan_first_s": round(scan_compile_plus_run, 2),
+        "scan_s": round(scan_s, 3),
+        "outer_iters_per_sec_sustained": round(n_scan / scan_s, 3),
+        "sustained_s_per_outer_iter": round(scan_s / n_scan, 3),
+        "final_mpsnr": float(np.asarray(hist["mpsnr"])[-1]),
+    }
+
+
+class _MicroOnly(Exception):
+    pass
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="fewer timing reps")
+    p.add_argument("--skip-cpu", action="store_true", help="skip the CPU comparator")
+    p.add_argument("--watchdog", type=int, default=900, help="seconds before wedge fallback")
+    p.add_argument(
+        "--micro-only",
+        action="store_true",
+        help="sparse-prox microkernel only (CPU smoke tests; the DIP/outer "
+        "stages are far too slow on a 2-vCPU host)",
+    )
+    args = p.parse_args()
+    wd = _watchdog(args.watchdog)
+
+    import jax
+
+    reps = 2 if args.quick else 4
+    chain = 10 if args.quick else 50
+    n_ista = 100
+
+    sample, Y, D = _problem()
     main_dev = jax.devices()[0]
-    t_main = bench_on(main_dev)
-    block_iters_per_sec = grid.n_blocks * n_ista_iters / t_main
-    print(
-        f"[bench] sparse prox on {main_dev.platform}: {t_main*1e3:.2f} ms "
-        f"({block_iters_per_sec:,.0f} block-ISTA iters/s)",
-        file=sys.stderr,
+    on_accel = main_dev.platform not in ("cpu", "gpu")
+
+    full = {
+        "jax": jax.__version__,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "device": str(main_dev),
+        "device_kind": getattr(main_dev, "device_kind", main_dev.platform),
+        "quick": args.quick,
+    }
+
+    _log(f"[bench] sparse prox on {main_dev.platform} "
+         f"(chain={chain}, reps={reps}) ...")
+    sp = bench_sparse_prox(main_dev, Y, D, n_ista, chain, reps)
+    full["sparse_prox"] = sp
+    _log(
+        f"[bench] sparse prox on {main_dev.platform}: {sp['device_ms']:.2f} ms device "
+        f"({sp['block_iters_per_sec']:,.0f} block-ISTA iters/s, "
+        f"{sp['achieved_tflops']:.1f} TF/s = {sp['mfu_vs_bf16_peak']*100:.1f}% of bf16 peak); "
+        f"single-call {sp['dispatch_ms']['min_ms']:.2f} ms, "
+        f"tunnel round-trip {sp['roundtrip_ms']:.2f} ms"
     )
 
     vs_baseline = 1.0
+    if not args.skip_cpu:
+        try:
+            cpu_dev = jax.devices("cpu")[0]
+            if cpu_dev != main_dev:
+                _log("[bench] sparse prox on host cpu ...")
+                sp_cpu = bench_sparse_prox(
+                    cpu_dev, Y, D, n_ista, chain=2, reps=max(2, reps // 2)
+                )
+                full["sparse_prox_cpu"] = sp_cpu
+                vs_baseline = sp_cpu["device_ms"] / sp["device_ms"]
+                _log(
+                    f"[bench] sparse prox on cpu: {sp_cpu['device_ms']:.2f} ms -> "
+                    f"speedup {vs_baseline:.2f}x"
+                )
+        except RuntimeError as e:
+            _log(f"[bench] no cpu baseline: {e}")
+
     try:
-        cpu_dev = jax.devices("cpu")[0]
-        if cpu_dev != main_dev:
-            t_cpu = bench_on(cpu_dev)
-            vs_baseline = t_cpu / t_main
-            print(
-                f"[bench] sparse prox on cpu: {t_cpu*1e3:.2f} ms -> "
-                f"speedup {vs_baseline:.2f}x",
-                file=sys.stderr,
-            )
-    except RuntimeError as e:
-        print(f"[bench] no cpu baseline: {e}", file=sys.stderr)
+        if args.micro_only:
+            _log("[bench] --micro-only: skipping end-to-end stages")
+            raise _MicroOnly
+        _log("[bench] DIP prox (skip-128 Adam steps) ...")
+        full["dip"] = bench_dip(sample, reps=max(2, reps // 2), quick=args.quick)
+        _log(
+            f"[bench] DIP Adam step: {full['dip']['adam_step_ms']:.3f} ms "
+            f"({full['dip']['adam_steps_per_sec']:,.0f} steps/s)"
+        )
+        _log("[bench] full LRS-PnP-DIP outer iteration + run_scanned ...")
+        full["outer"] = bench_outer(sample, D, reps=max(2, reps // 2), quick=args.quick)
+        _log(
+            f"[bench] outer iter: {full['outer']['outer_iter']['min_ms']:.0f} ms "
+            f"(dip_iters={full['outer']['dip_iters_first_step']}); sustained "
+            f"{full['outer']['sustained_s_per_outer_iter']:.3f} s/outer-iter "
+            f"over a {full['outer']['scan_iters']}-iter on-device scan"
+        )
+    except _MicroOnly:
+        pass
+    except Exception as e:  # end-to-end stages are additive — never lose the headline
+        _log(f"[bench] end-to-end stages failed: {type(e).__name__}: {e}")
+        full["end_to_end_error"] = f"{type(e).__name__}: {e}"
 
     wd.cancel()
     result = {
         "metric": "pnp_ista_block_iters_per_sec",
-        "value": round(block_iters_per_sec, 1),
+        "value": sp["block_iters_per_sec"],
         "unit": "block_iters/s",
         "vs_baseline": round(vs_baseline, 3),
+        "device_ms": sp["device_ms"],
+        "dispatch_ms": sp["dispatch_ms"]["min_ms"],
+        "mfu_vs_bf16_peak": sp["mfu_vs_bf16_peak"],
+        "outer_iters_per_sec": full.get("outer", {}).get(
+            "outer_iters_per_sec_sustained"
+        ),
+        "dip_adam_step_ms": full.get("dip", {}).get("adam_step_ms"),
+        "device_kind": full["device_kind"],
+        "reps": reps,
+        "chain": chain,
     }
-    if main_dev.platform not in ("cpu", "gpu"):
-        os.makedirs(os.path.dirname(_LAST_RESULT), exist_ok=True)
+    full["headline"] = result
+    os.makedirs(_ART, exist_ok=True)
+    with open(_FULL_RESULT, "w") as f:
+        json.dump(full, f, indent=1)
+    if on_accel:
         with open(_LAST_RESULT, "w") as f:
             json.dump(result, f)
     print(json.dumps(result))

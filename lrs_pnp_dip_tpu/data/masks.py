@@ -42,6 +42,49 @@ def strip_mask(
     return mask
 
 
+#: The hand-built strip boxes of the MATLAB twin, converted from the
+#: 1-indexed inclusive ``msk(r0:r1, c0:c1) = 1000`` statements at
+#: ``main_LRS_PnP.m:34-38`` to 0-indexed half-open (row0, row1, col0, col1).
+#: Together they kill 66 of the 1296 pixels — the same density as the
+#: Python reference's first mask (BASELINE.md mask table).
+MATLAB_STRIPS = (
+    (7, 13, 26, 28),
+    (3, 5, 6, 12),
+    (17, 24, 4, 6),
+    (15, 17, 12, 19),
+    (23, 25, 12, 19),
+)
+
+
+def matlab_strip_mask(shape: Tuple[int, int] = (36, 36)) -> np.ndarray:
+    """The exact strip mask of ``main_LRS_PnP.m:31-43`` (36x36, 66 dead
+    pixels, identical across all 128 bands)."""
+    return strip_mask(shape, MATLAB_STRIPS)
+
+
+def matlab_twin_sample(seed: int = 0, bands: int = 128):
+    """The assembled MATLAB-twin experiment input (A12,
+    ``main_LRS_PnP.m:4-47``): a 36x36x``bands`` clean cube, sigma=0.12
+    gaussian noise on every pixel, then the hand-built strip mask zeroing
+    66 pixels across all bands.
+
+    The reference crops the Chikusei scene (rows/cols 50:85 of the
+    144x144x128 cube, ``main_LRS_PnP.m:16-18``); that ``Chikusei.mat`` is
+    a missing git-LFS blob (SURVEY §0), so the clean cube here is the
+    framework's synthetic Chikusei-like low-rank mixture — same geometry,
+    noise and mask as the MATLAB experiment.
+    """
+    from .io import HsiSample
+
+    base = synthetic_sample(
+        height=36, width=36, bands=bands, rank=8, missing=0.0,
+        noise_sigma=0.0, seed=seed,
+    )
+    mask = matlab_strip_mask((36, 36))
+    noisy = corrupt(base.clean, mask, noise_sigma=0.12, seed=seed)
+    return HsiSample(noisy=noisy, mask=mask, clean=base.clean, name="matlab_twin")
+
+
 def text_mask(
     shape: Tuple[int, int],
     text: str = "hello world",

@@ -63,7 +63,7 @@ class SparseProxConfig:
     backend: Literal["auto", "xla", "pallas"] = "auto"
     # 'pallas' fuses the whole ISTA scan into one VMEM-resident kernel
     # (TPU only); 'auto' picks pallas on TPU, xla elsewhere.
-    denoiser: Literal["nlm_fast", "nlm_classic"] = "nlm_fast"
+    denoiser: Literal["nlm_fast", "nlm_classic", "bm3d"] = "nlm_fast"
     # 'nlm_fast': the Python reference's skimage fast-mode pairwise NLM;
     # 'nlm_classic': the MATLAB twin's NLmeansfilter (wmax self-weight) —
     # XLA backend only.
@@ -123,6 +123,13 @@ def pnp_ista_blocks(
             return jax.vmap(
                 lambda g, hh: nlm_classic(g[:, None], hh)[:, 0]
             )(grad, h)
+    elif cfg.denoiser == "bm3d":
+        from .bm3d import Bm3dConfig, bm3d_coef_batch
+
+        bm3d_cfg = Bm3dConfig(patch=4, stride=2, group=8, search=8, wiener=False)
+
+        def denoise(grad):
+            return bm3d_coef_batch(grad, h, bm3d_cfg)
     else:
         denoise = lambda grad: nlm_column_batch_fast(grad, h)
 

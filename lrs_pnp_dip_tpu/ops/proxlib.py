@@ -85,6 +85,15 @@ def nlm_prox(x: jnp.ndarray, h, patch_size: int = 3, patch_distance: int = 3):
     return nlm2d(x, h, patch_size, patch_distance)
 
 
+def bm3d_prox(x: jnp.ndarray, sigma, cfg=None):
+    """Plug-and-play BM3D denoiser as a prox (reference ``bm3d_prox``,
+    ``admm_utils.py:60-75`` — there a wrapper over the pip ``bm3d`` C
+    library; here the JAX implementation in :mod:`.bm3d`)."""
+    from .bm3d import Bm3dConfig, bm3d_prox as _impl
+
+    return _impl(x, sigma, cfg if cfg is not None else Bm3dConfig())
+
+
 def linf_project(x: jnp.ndarray, radius) -> jnp.ndarray:
     """Projection onto the l-inf ball (reference ``linf_proj``)."""
     return jnp.clip(x, -radius, radius)

@@ -89,6 +89,31 @@ def lrs_pnp_preset(**overrides) -> SolverConfig:
     return dataclasses.replace(cfg, **overrides)
 
 
+def matlab_preset(**overrides) -> SolverConfig:
+    """The MATLAB LRS-PnP twin (A12) — ``main_LRS_PnP.m:57-70`` exactly:
+    gamma = 0.5, mu1 = mu2 = 0.15, 13 outer iterations, lambda = 0.1,
+    Nit = 80 (``pnp_ista.m``), alpha = max|eig(H^T H)| per pruned block
+    (``main_LRS_PnP.m:113``, the specnorm mode), denoiser =
+    ``NLmeansfilter(gradient, 3, 3, T*0.1)`` (``pnp_ista.m:30`` — the
+    classic wmax-rule NLM, not skimage's fast mode)."""
+    cfg = SolverConfig(
+        variant="lrs_pnp",
+        gamma=0.5,
+        mu1=0.15,
+        mu2=0.15,
+        outer_iters=13,
+        sparse=SparseProxConfig(
+            n_iter=80,
+            alpha_mode="specnorm",
+            h_scale=0.1,
+            denoiser="nlm_classic",
+            backend="xla",  # the fused Pallas kernel implements fast-NLM only
+        ),
+        dip=None,
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
 def dip_preset(**overrides) -> SolverConfig:
     """LRS-PnP-DIP — reference ``main_LRS_PnP_DIP_pro.py:324-353``:
     mu1 = mu2 = 0.1, Nit = 100, alpha = 4*trace, 250 outer iterations,
@@ -136,6 +161,7 @@ def dip_1lip_tuned_preset(**overrides) -> SolverConfig:
 
 PRESETS = {
     "lrs_pnp": lrs_pnp_preset,
+    "matlab": matlab_preset,
     "dip": dip_preset,
     "dip_1lip": dip_1lip_preset,
     "dip_tuned": dip_tuned_preset,
