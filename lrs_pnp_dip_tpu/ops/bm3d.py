@@ -39,11 +39,20 @@ class Bm3dConfig:
     profile of the Tampere implementation the reference bundles)."""
 
     patch: int = 8
-    stride: int = 4
+    stride: int = 3  # the Tampere profiles' Nstep (stage 2 relies on the
+    # denser cover: at stride 4 the Wiener stage can regress below HT)
     group: int = 16  # patches per collaborative group
     search: int = 16  # Chebyshev matching radius (pixels)
     lambda3d: float = 2.7  # hard-threshold multiplier (stage 1)
     wiener: bool = True  # run the stage-2 Wiener refinement
+    # Match-distance cutoffs (mean squared difference per pixel, [0,1] data):
+    # group members farther than this from the reference patch are replaced
+    # by the reference itself.  Values are the Tampere profile's
+    # tau_match = 3000 / 255^2 and tau_match_wiener = 400 / 255^2 — without
+    # the stage-2 cutoff the Wiener groups mix dissimilar patches (distances
+    # shrink on the smoothed basic estimate) and stage 2 can REGRESS.
+    tau_match: float = 3000.0 / 65025.0
+    tau_match_wiener: float = 400.0 / 65025.0
 
 
 def _dct_matrix(n: int) -> np.ndarray:
@@ -75,10 +84,14 @@ def _extract(img: jnp.ndarray, ys: np.ndarray, xs: np.ndarray, p: int):
     return img[ry[:, :, None], rx[:, None, :]], py, px
 
 
-def _match(patches: jnp.ndarray, py, px, cfg: Bm3dConfig) -> jnp.ndarray:
+def _match(patches: jnp.ndarray, py, px, cfg: Bm3dConfig, tau: float) -> jnp.ndarray:
     """Group indices (nP, g): the g nearest patches within the search
-    radius (self always included; distances via one Gram matmul)."""
+    radius (self always included; distances via one Gram matmul).  Members
+    whose mean-squared patch distance exceeds ``tau`` are replaced by the
+    reference patch itself (static shapes; degenerate groups just average
+    the reference with itself, as in the Tampere matcher's N2 shrink)."""
     nP = patches.shape[0]
+    p2 = patches.shape[1] * patches.shape[2]
     flat = patches.reshape(nP, -1)
     sq = jnp.sum(flat * flat, axis=1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (flat @ flat.T)
@@ -87,8 +100,9 @@ def _match(patches: jnp.ndarray, py, px, cfg: Bm3dConfig) -> jnp.ndarray:
     )
     d2 = jnp.where(jnp.asarray(cheb <= cfg.search), d2, jnp.inf)
     g = min(cfg.group, nP)
-    _, idx = jax.lax.top_k(-d2, g)
-    return idx  # (nP, g)
+    negd, idx = jax.lax.top_k(-d2, g)
+    self_idx = jnp.arange(nP, dtype=idx.dtype)[:, None]
+    return jnp.where(-negd <= tau * p2, idx, self_idx)  # (nP, g)
 
 
 def _aggregate(filtered, weights, idx, py, px, p, nP, shape):
@@ -127,7 +141,7 @@ def _bm3d_impl(img: jnp.ndarray, sigma: jnp.ndarray, cfg: Bm3dConfig):
 
     patches, py, px = _extract(img, ys, xs, p)
     nP = patches.shape[0]
-    idx = _match(patches, py, px, cfg)
+    idx = _match(patches, py, px, cfg, cfg.tau_match)
     g = idx.shape[1]
     Tg = jnp.asarray(_dct_matrix(g))
     coef2d = dct2(patches)  # (nP, p, p), shared across groups
@@ -153,7 +167,7 @@ def _bm3d_impl(img: jnp.ndarray, sigma: jnp.ndarray, cfg: Bm3dConfig):
 
     # ---- stage 2: empirical Wiener using the basic estimate ----------
     bpatches, _, _ = _extract(basic, ys, xs, p)
-    idx2 = _match(bpatches, py, px, cfg)
+    idx2 = _match(bpatches, py, px, cfg, cfg.tau_match_wiener)
     b3 = transform3d(dct2(bpatches)[idx2])
     n3 = transform3d(coef2d[idx2])
     Wsh = (b3 * b3) / (b3 * b3 + sigma * sigma + 1e-20)

@@ -37,12 +37,19 @@ def test_bm3d_hard_threshold_denoises():
 
 
 def test_bm3d_wiener_refines():
-    clean, rng = _scene(seed=1)
-    sigma = 0.10
-    noisy = clean + sigma * rng.standard_normal(clean.shape).astype(np.float32)
-    ht = np.asarray(bm3d(noisy, sigma, Bm3dConfig(wiener=False)))
-    full = np.asarray(bm3d(noisy, sigma, Bm3dConfig(wiener=True)))
-    assert _psnr(clean, full) >= _psnr(clean, ht) - 0.2
+    """Stage 2 (empirical Wiener) must IMPROVE on stage 1, never regress —
+    the round-2 tolerance (``>= ht - 0.2``) masked a real defect (missing
+    tau_match cutoffs + too-sparse patch cover)."""
+    gains = []
+    for seed in (1, 2, 3):
+        clean, rng = _scene(seed=seed)
+        sigma = 0.10
+        noisy = clean + sigma * rng.standard_normal(clean.shape).astype(np.float32)
+        ht = _psnr(clean, np.asarray(bm3d(noisy, sigma, Bm3dConfig(wiener=False))))
+        full = _psnr(clean, np.asarray(bm3d(noisy, sigma, Bm3dConfig(wiener=True))))
+        assert full >= ht, f"seed {seed}: Wiener regressed {full:.2f} < {ht:.2f}"
+        gains.append(full - ht)
+    assert np.mean(gains) > 0.2, f"Wiener mean refinement only {np.mean(gains):.3f} dB"
 
 
 def test_bm3d_prox_multiband_and_proxlib():
