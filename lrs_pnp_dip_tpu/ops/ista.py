@@ -69,36 +69,55 @@ class SparseProxConfig:
     # XLA backend only.
 
 
-def _alpha_trace4(D: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
+def _psum(x: jnp.ndarray, axis_name) -> jnp.ndarray:
+    """Sum over a mesh axis when running inside shard_map; identity
+    otherwise (the hook that makes the same ISTA body work with the
+    dictionary's pixel rows sharded over the ``band`` axis)."""
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def _alpha_trace4(D: jnp.ndarray, M: jnp.ndarray, axis_name=None) -> jnp.ndarray:
     """alpha_j = 4 * sum_r m_jr ||D[r,:]||^2  — per block (nB,)."""
-    row_normsq = jnp.sum(D * D, axis=1)  # (P,)
-    return 4.0 * (M @ row_normsq)
+    row_normsq = jnp.sum(D * D, axis=1)  # (P,) or (P_local,)
+    return 4.0 * _psum(M @ row_normsq, axis_name)
 
 
-def _alpha_specnorm(D: jnp.ndarray, M: jnp.ndarray, n_steps: int) -> jnp.ndarray:
+def _alpha_specnorm(
+    D: jnp.ndarray, M: jnp.ndarray, n_steps: int, axis_name=None
+) -> jnp.ndarray:
     """alpha_j = lambda_max(D^T diag(m_j) D) via batched power iteration."""
     nB = M.shape[0]
     K = D.shape[1]
-    v = jnp.ones((nB, K), D.dtype) / jnp.sqrt(K)
+    # seed the carry with the same varying-axes set the loop body produces
+    # (varying over patch shards, psum-invariant over the band axis), so
+    # the scan carry types match under shard_map's vma tracking
+    seed = _psum(jnp.sum(M, axis=1, keepdims=True), axis_name)
+    v = jnp.ones((nB, K), D.dtype) / jnp.sqrt(K) + 0.0 * seed
 
     def body(v, _):
-        u = (M * (v @ D.T)) @ D  # (nB, K): D^T diag(m) D v
+        u = _psum((M * (v @ D.T)) @ D, axis_name)  # (nB, K): D^T diag(m) D v
         v = u / (jnp.linalg.norm(u, axis=1, keepdims=True) + 1e-30)
         return v, None
 
     v, _ = jax.lax.scan(body, v, None, length=n_steps)
-    u = (M * (v @ D.T)) @ D
+    u = _psum((M * (v @ D.T)) @ D, axis_name)
     return jnp.sum(v * u, axis=1)  # Rayleigh quotient (v unit-norm)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def pnp_ista_blocks(
-    blocks: jnp.ndarray,  # (nB, P) target blocks (of X + lambda_1/mu_1)
-    mask_blocks: jnp.ndarray,  # (nB, P) 1 = observed entry
-    D: jnp.ndarray,  # (P, K) dictionary
-    cfg: SparseProxConfig = SparseProxConfig(),
+def pnp_ista_blocks_impl(
+    blocks: jnp.ndarray,
+    mask_blocks: jnp.ndarray,
+    D: jnp.ndarray,
+    cfg: SparseProxConfig,
+    axis_name=None,
 ) -> jnp.ndarray:
-    """Run masked PnP-ISTA on every block; return coefficients (nB, K)."""
+    """Masked PnP-ISTA body.  With ``axis_name`` set this runs inside a
+    shard_map with the PIXEL rows of both the blocks and the dictionary
+    sharded over that mesh axis: every partial matmul against D is followed
+    by a psum, so each device does 1/b of the MXU work and the (nB, K)
+    coefficient iterate stays band-replicated (the denoiser then runs
+    identically on every band shard — cheap relative to the matmuls, see
+    docs/DESIGN.md scaling model)."""
     Y = blocks.astype(jnp.float32)
     M = mask_blocks.astype(jnp.float32)
     D = D.astype(jnp.float32)
@@ -106,9 +125,9 @@ def pnp_ista_blocks(
     K = D.shape[1]
 
     if cfg.alpha_mode == "trace4":
-        alpha = _alpha_trace4(D, M)
+        alpha = _alpha_trace4(D, M, axis_name)
     elif cfg.alpha_mode == "specnorm":
-        alpha = _alpha_specnorm(D, M, cfg.power_iters)
+        alpha = _alpha_specnorm(D, M, cfg.power_iters, axis_name)
     else:
         raise ValueError(cfg.alpha_mode)
     alpha = jnp.maximum(alpha, 1e-12)
@@ -134,8 +153,8 @@ def pnp_ista_blocks(
         denoise = lambda grad: nlm_column_batch_fast(grad, h)
 
     def body(x, _):
-        resid = Ym - M * (x @ D.T)  # (nB, P)
-        grad = x + (resid @ D) / alpha[:, None]  # (nB, K)
+        resid = Ym - M * (x @ D.T)  # (nB, P) [or (nB, P_local)]
+        grad = x + _psum(resid @ D, axis_name) / alpha[:, None]  # (nB, K)
         x = denoise(grad)
         return x, None
 
@@ -144,6 +163,17 @@ def pnp_ista_blocks(
     x0 = jnp.zeros((nB, K), jnp.float32) + 0.0 * alpha[:, None]
     x, _ = jax.lax.scan(body, x0, None, length=cfg.n_iter)
     return x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def pnp_ista_blocks(
+    blocks: jnp.ndarray,  # (nB, P) target blocks (of X + lambda_1/mu_1)
+    mask_blocks: jnp.ndarray,  # (nB, P) 1 = observed entry
+    D: jnp.ndarray,  # (P, K) dictionary
+    cfg: SparseProxConfig = SparseProxConfig(),
+) -> jnp.ndarray:
+    """Run masked PnP-ISTA on every block; return coefficients (nB, K)."""
+    return pnp_ista_blocks_impl(blocks, mask_blocks, D, cfg)
 
 
 def _use_pallas(cfg: SparseProxConfig) -> bool:

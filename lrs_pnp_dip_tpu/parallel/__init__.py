@@ -7,6 +7,7 @@ from .collectives import (
     make_distributed_svt,
     make_distributed_svt_2d,
     make_sharded_sparse_prox,
+    make_sharded_sparse_prox_2d,
 )
 from .engine import ShardedSolver
 
@@ -22,5 +23,6 @@ __all__ = [
     "make_distributed_svt",
     "make_distributed_svt_2d",
     "make_sharded_sparse_prox",
+    "make_sharded_sparse_prox_2d",
     "ShardedSolver",
 ]

@@ -34,6 +34,7 @@ from .collectives import (
     make_distributed_svt,
     make_distributed_svt_2d,
     make_sharded_sparse_prox,
+    make_sharded_sparse_prox_2d,
 )
 from .sharding import aux_sharding, consts_sharding, state_sharding
 
@@ -65,10 +66,21 @@ class ShardedSolver:
                     svt_fn = make_distributed_svt_2d(mesh, "patch", "band")
                 else:
                     svt_fn = make_distributed_svt(mesh, "patch")
-            # explicit shard_map over the block axis — lets each shard run
-            # the fused Pallas kernel on TPU instead of relying on GSPMD
-            # to partition the scan
-            sparse_prox_fn = make_sharded_sparse_prox(mesh, config.sparse, "patch")
+            if "band" in mesh.axis_names:
+                # 2-D tiling: block rows over patch, pixel columns (and the
+                # dictionary's rows) over band — each device does
+                # 1/(p*b) of the ISTA matmul flops, one psum per iteration
+                # (was: band groups redundantly recomputing the whole prox)
+                sparse_prox_fn = make_sharded_sparse_prox_2d(
+                    mesh, config.sparse, "patch", "band"
+                )
+            else:
+                # explicit shard_map over the block axis — lets each shard
+                # run the fused Pallas kernel on TPU instead of relying on
+                # GSPMD to partition the scan
+                sparse_prox_fn = make_sharded_sparse_prox(
+                    mesh, config.sparse, "patch"
+                )
         else:
             # under vmap, use the XLA scan path and let GSPMD partition it
             import dataclasses as _dc
