@@ -63,6 +63,12 @@ class SparseProxConfig:
     backend: Literal["auto", "xla", "pallas"] = "auto"
     # 'pallas' fuses the whole ISTA scan into one VMEM-resident kernel
     # (TPU only); 'auto' picks pallas on TPU, xla elsewhere.
+    matmul_dtype: Literal["float32", "bfloat16"] = "float32"
+    # 'bfloat16' runs the two MXU matmuls per ISTA iteration with bf16
+    # inputs and f32 accumulation (2x MXU throughput on v5e).  The NLM
+    # shrinkage, step sizes, and the carried coefficients stay f32.
+    # Default f32 = bit-parity with the reference semantics; bf16 is the
+    # measured-speed option (quality impact quantified in RESULTS.md).
     denoiser: Literal["nlm_fast", "nlm_classic", "bm3d"] = "nlm_fast"
     # 'nlm_fast': the Python reference's skimage fast-mode pairwise NLM;
     # 'nlm_classic': the MATLAB twin's NLmeansfilter (wmax self-weight) —

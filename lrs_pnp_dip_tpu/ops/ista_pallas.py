@@ -76,20 +76,28 @@ def _nlm1d_in_kernel(G, h2s2, S):
     return (num / den)[:, pad : pad + K]
 
 
-def _ista_kernel(ym_ref, m_ref, d_ref, inv_alpha_ref, h2s2_ref, out_ref, *, n_iter):
+def _ista_kernel(
+    ym_ref, m_ref, d_ref, inv_alpha_ref, h2s2_ref, out_ref, *, n_iter, mm_dtype
+):
     Ym = ym_ref[:]  # (nB, P) pre-masked target
     M = m_ref[:]  # (nB, P)
     D = d_ref[:]  # (P, K)
     inv_alpha = inv_alpha_ref[:]  # (nB, 1)
     h2s2 = h2s2_ref[:]  # (nB, 1)
     S = _reflect_selector(D.shape[1], 5)
+    # bf16 option: MXU operands in bf16 with f32 accumulation (2x matmul
+    # throughput on v5e); everything else — residual, NLM, carry — is f32.
+    Dm = D.astype(mm_dtype)
 
     def body(_, x):
         pred = jax.lax.dot_general(
-            x, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            x.astype(mm_dtype), Dm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # (nB, P) = x @ D^T
         R = Ym - M * pred  # Ym is pre-masked, so this equals M*(Y - pred)
-        g = x + jnp.dot(R, D, preferred_element_type=jnp.float32) * inv_alpha
+        g = x + jnp.dot(
+            R.astype(mm_dtype), Dm, preferred_element_type=jnp.float32
+        ) * inv_alpha
         return _nlm1d_in_kernel(g, h2s2, S)
 
     x0 = jnp.zeros(out_ref.shape, jnp.float32)
@@ -133,7 +141,11 @@ def pnp_ista_blocks_pallas(
         h2s2 = jnp.pad(h2s2, (0, pad_b), constant_values=1.0)
     nBp = nB + pad_b
 
-    kernel = functools.partial(_ista_kernel, n_iter=cfg.n_iter)
+    kernel = functools.partial(
+        _ista_kernel,
+        n_iter=cfg.n_iter,
+        mm_dtype=jnp.dtype(getattr(cfg, "matmul_dtype", "float32")),
+    )
     flops_per_iter = 4 * nBp * P * K
 
     # Tile the block axis when the working set would overflow VMEM

@@ -1,0 +1,102 @@
+"""Tensor (model) parallelism for the DIP networks — channel sharding.
+
+The reference has no TP of any kind (SURVEY §2.5: single GPU, nets of
+width 128).  This module closes the one remaining cell of the parallelism
+matrix: the DIP net's conv channels shard over a ``model`` mesh axis, so
+nets too wide for one chip's HBM (or whose per-step matmuls are worth
+splitting) train across chips.
+
+Design: GSPMD sharding propagation rather than hand-written collectives.
+Conv kernels (kh, kw, cin, cout) are laid out with ``cout`` on the
+``model`` axis (and ``cin`` replicated); per-feature vectors (bias, BN
+scale/mean/var) shard on their single dimension.  XLA then partitions
+every conv as a local matmul over the device's channel slice and inserts
+the reduce at channel-mixing boundaries (the 1x1 heads, concats) — on a
+TPU mesh these ride ICI.  This is exactly the "pick a layout, let the
+compiler insert collectives" recipe the scaling playbook prescribes; a
+hand-rolled psum would duplicate what GSPMD already does optimally.
+
+When TP pays: see docs/DESIGN.md §"Tensor parallelism" — at the reference
+width (128) the per-conv matmul is far too small to amortize even one ICI
+hop (measured numbers in the doc); the component exists for the wide-net
+regime (width >= ~1k) and to complete the matrix.  Equivalence vs the
+unsharded step is pinned in ``tests/test_tensor_parallel.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def channel_sharding_specs(params: Any, mesh: Mesh, axis: str = "model") -> Any:
+    """A pytree of ``NamedSharding`` matching ``params``: output channels of
+    conv kernels and per-feature vectors on ``axis`` (when divisible by the
+    axis size), everything else replicated."""
+    size = mesh.shape[axis]
+
+    def spec(leaf):
+        if leaf.ndim == 4 and leaf.shape[-1] % size == 0:
+            # (kh, kw, cin, cout) -> cout sharded
+            return NamedSharding(mesh, P(None, None, None, axis))
+        if leaf.ndim == 1 and leaf.shape[0] % size == 0:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, params)
+
+
+def shard_channelwise(params: Any, mesh: Mesh, axis: str = "model") -> Any:
+    """Place a parameter pytree with channel shardings (device_put)."""
+    return jax.device_put(params, channel_sharding_specs(params, mesh, axis))
+
+
+def make_tp_dip_step(
+    model,
+    mesh: Mesh,
+    learning_rate: float = 0.1,
+    axis: str = "model",
+) -> Tuple[Callable, Callable]:
+    """(init, step) for tensor-parallel DIP training.
+
+    ``init(key, x)`` returns (params, model_state, opt_state) with every
+    channel dimension sharded over ``mesh``'s ``axis``; ``step(params,
+    model_state, opt_state, x, target, mask)`` is one Adam update on the
+    masked-MSE DIP loss (identical math to ``solvers.dip``), jitted with
+    the sharded layouts — XLA partitions the convs and inserts the channel
+    reduces.
+    """
+    opt = optax.adam(learning_rate)
+
+    def init(key, x):
+        variables = model.init(key, x)
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        params = shard_channelwise(params, mesh, axis)
+        model_state = shard_channelwise(model_state, mesh, axis)
+        opt_state = jax.jit(opt.init)(params)  # inherits params shardings
+        return params, model_state, opt_state
+
+    def loss_fn(params, model_state, x, target, mask):
+        variables = {"params": params, **model_state}
+        if model_state:
+            out, new_state = model.apply(variables, x, mutable=list(model_state))
+        else:
+            out, new_state = model.apply(variables, x), {}
+        loss = jnp.mean((target * mask - out * mask) ** 2)
+        return loss, (out, new_state)
+
+    @jax.jit
+    def step(params, model_state, opt_state, x, target, mask):
+        (loss, (out, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, model_state, x, target, mask)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss, out
+
+    return init, step

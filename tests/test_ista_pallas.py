@@ -55,3 +55,20 @@ def test_pallas_tiled_grid_large_block_count(rng):
         pnp_ista_blocks_pallas(Y, M, D, cfg, interpret=True, vmem_budget=tiny_budget)
     )
     np.testing.assert_allclose(pal, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_bf16_matmuls_track_f32(rng):
+    """matmul_dtype='bfloat16' (2x MXU option) must stay close to the f32
+    path: the NLM shrinkage and carry are f32, so only the matmul operands
+    are quantized (~3 decimal digits)."""
+    Y, M, D = _problem(rng)
+    cfg32 = SparseProxConfig(n_iter=10, alpha_mode="trace4")
+    cfg16 = SparseProxConfig(n_iter=10, alpha_mode="trace4",
+                             matmul_dtype="bfloat16")
+    ref = np.asarray(pnp_ista_blocks_pallas(Y, M, D, cfg32, interpret=True))
+    low = np.asarray(pnp_ista_blocks_pallas(Y, M, D, cfg16, interpret=True))
+    assert np.isfinite(low).all()
+    scale = np.abs(ref).max()
+    assert np.abs(low - ref).max() < 0.02 * scale, (
+        f"bf16 drift {np.abs(low - ref).max():.4g} vs scale {scale:.4g}"
+    )

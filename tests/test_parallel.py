@@ -126,6 +126,23 @@ def test_distributed_svt_2d_matches_single(rng):
     np.testing.assert_allclose(ours, expect, atol=2e-4)
 
 
+def test_banded_mesh_dip_variant_runs():
+    """The flagship dip variant on a 2-D {patch, band} mesh: the 2-D-tiled
+    sparse prox + the GSPMD DIP while_loop execute together."""
+    from lrs_pnp_dip_tpu.models import Skip
+
+    s = synthetic_sample(height=16, width=16, bands=16, missing=0.1, seed=9)
+    D = random_dictionary(64, 32, seed=5)
+    cfg = _cfg(outer=1, variant="dip")
+    tiny = Skip(num_output_channels=16, channels_down=(8, 8), channels_up=(8, 8),
+                channels_skip=(4, 4), pad="reflection")
+    mesh = make_mesh({"patch": 2, "band": 4})
+    solver = ShardedSolver(s, D, cfg, mesh, net=tiny)
+    state, aux = solver.step(solver.init_state())
+    assert np.isfinite(np.asarray(state.X)).all()
+    assert int(np.asarray(aux.dip_iters)) > 0
+
+
 @pytest.mark.parametrize("alpha_mode", ["trace4", "specnorm"])
 @pytest.mark.parametrize("shape", [(12, 64), (11, 60)])  # divisible + padded
 def test_sharded_sparse_prox_2d_matches_single(rng, alpha_mode, shape):
