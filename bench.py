@@ -149,7 +149,7 @@ def _problem():
     return sample, Y, D
 
 
-def bench_sparse_prox(device, Y, D, n_ista, chain, reps):
+def bench_sparse_prox(device, Y, D, n_ista, chain, reps, matmul_dtype="float32"):
     """Sparse prox on one device: device time (scan-chained, one dispatch)
     and single-call dispatch time.
 
@@ -169,7 +169,8 @@ def bench_sparse_prox(device, Y, D, n_ista, chain, reps):
     from lrs_pnp_dip_tpu.ops.ista import SparseProxConfig, sparse_prox
 
     backend = "pallas" if device.platform not in ("cpu", "gpu") else "xla"
-    cfg = SparseProxConfig(n_iter=n_ista, alpha_mode="trace4", backend=backend)
+    cfg = SparseProxConfig(n_iter=n_ista, alpha_mode="trace4", backend=backend,
+                           matmul_dtype=matmul_dtype)
     grid = block_grid(Y.shape, 36, 36)
     Yd = jax.device_put(jnp.asarray(Y), device)
     Dd = jax.device_put(jnp.asarray(D), device)
@@ -397,6 +398,23 @@ def main():
         f"single-call {sp['dispatch_ms']['min_ms']:.2f} ms, "
         f"tunnel round-trip {sp['roundtrip_ms']:.2f} ms"
     )
+
+    if on_accel:
+        try:
+            _log("[bench] sparse prox bf16-MXU variant ...")
+            sp16 = bench_sparse_prox(
+                main_dev, Y, D, n_ista, sp["chain_length"], reps,
+                matmul_dtype="bfloat16",
+            )
+            full["sparse_prox_bf16"] = sp16
+            speedup = sp["device_ms"] / max(sp16["device_ms"], 1e-9)
+            _log(
+                f"[bench] bf16 matmuls: {sp16['device_ms']:.2f} ms device "
+                f"({sp16['block_iters_per_sec']:,.0f} block-ISTA iters/s, "
+                f"{speedup:.2f}x vs f32)"
+            )
+        except Exception as e:  # additive measurement — never lose the headline
+            _log(f"[bench] bf16 variant failed: {type(e).__name__}: {e}")
 
     vs_baseline = 1.0
     if not args.skip_cpu:

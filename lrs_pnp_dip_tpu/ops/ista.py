@@ -158,9 +158,17 @@ def pnp_ista_blocks_impl(
     else:
         denoise = lambda grad: nlm_column_batch_fast(grad, h)
 
+    mm = jnp.dtype(cfg.matmul_dtype)
+    Dm = D.astype(mm)
+
     def body(x, _):
-        resid = Ym - M * (x @ D.T)  # (nB, P) [or (nB, P_local)]
-        grad = x + _psum(resid @ D, axis_name) / alpha[:, None]  # (nB, K)
+        pred = jax.lax.dot_general(  # x @ D^T, f32 accumulation
+            x.astype(mm), Dm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        resid = Ym - M * pred  # (nB, P) [or (nB, P_local)]
+        part = jnp.dot(resid.astype(mm), Dm, preferred_element_type=jnp.float32)
+        grad = x + _psum(part, axis_name) / alpha[:, None]  # (nB, K)
         x = denoise(grad)
         return x, None
 
