@@ -1,0 +1,159 @@
+"""Round-3 follow-on TPU experiments (run AFTER scripts/tpu_round3.py).
+
+Three targeted additions on top of the main round-3 measurement session:
+
+  tuned_dict — the tuned presets combined with the per-image dictionaries
+               trained by the gap phase (cached in artifacts/dicts_r3/).
+               The round-1/2 tuned table loses to the reference's figure
+               on exactly one cell (img4: 41.102 vs 41.167 dB); the 'self'
+               dictionary (mask-aware, trained only on the test scene's
+               OBSERVED pixels — no ground-truth access) and the 'loo'
+               dictionary (K-SVD on the other four clean crops — never the
+               test image) are both leak-free ways to specialise the
+               sparse prior per scene.
+  bf16       — quality validation of the bf16-MXU fast paths: one faithful
+               DIP run with (a) the sparse prox matmuls in bfloat16
+               (SparseProxConfig.matmul_dtype) and (b) additionally the
+               DIP net in mixed precision (DipConfig.compute_dtype).
+               Supports the bench's bf16 kernel variant with end-to-end
+               evidence that the fast path is quality-neutral.
+  ceiling    — sparse-stage reconstruction ceilings for the tuned-dict
+               problems (summary cross-check for the tuned_dict runs).
+
+Usage:  python -u scripts/tpu_round3b.py [--phases tuned_dict,bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+from tpu_round3 import (  # noqa: E402  (reuse the session helpers + resume)
+    ART,
+    RUNS,
+    _sparse_stage_mpsnr,
+    _summary,
+    _train_dict,
+    log,
+    run_solver,
+    start_wedge_watchdog,
+)
+
+
+def phase_tuned_dict():
+    from lrs_pnp_dip_tpu.data.io import load_reference_pair
+    from lrs_pnp_dip_tpu.utils.config import PRESETS
+
+    for img in ("img4", "img5"):
+        sample = load_reference_pair(img)
+        for kind in ("self", "loo"):
+            try:
+                D = _train_dict(kind, img)
+            except Exception as e:
+                log(f"dict {kind}/{img} FAILED: {type(e).__name__}: {e}")
+                continue
+            for variant in ("dip_tuned", "dip_1lip_tuned"):
+                tag = f"{variant}_dict_{kind}_{img}"
+                try:
+                    best = run_solver(tag, sample, D, PRESETS[variant](), 250)
+                    _summary({tag: best})
+                except Exception as e:
+                    log(f"{tag} FAILED: {type(e).__name__}: {e}")
+
+
+def phase_bf16():
+    from lrs_pnp_dip_tpu.data.dictionary import load_trained_dictionary
+    from lrs_pnp_dip_tpu.data.io import load_reference_pair
+    from lrs_pnp_dip_tpu.utils.config import dip_preset
+
+    D = load_trained_dictionary(512)
+    sample = load_reference_pair("img1")
+    base = dip_preset()
+    variants = {
+        "bf16sparse": dataclasses.replace(
+            base, sparse=dataclasses.replace(base.sparse, matmul_dtype="bfloat16")
+        ),
+        "bf16full": dataclasses.replace(
+            base,
+            sparse=dataclasses.replace(base.sparse, matmul_dtype="bfloat16"),
+            dip=dataclasses.replace(base.dip, compute_dtype="bfloat16"),
+        ),
+    }
+    for name, cfg in variants.items():
+        tag = f"dip_{name}_img1"
+        try:
+            best = run_solver(tag, sample, D, cfg, 250)
+            _summary({tag: best})
+        except Exception as e:
+            log(f"{tag} FAILED: {type(e).__name__}: {e}")
+
+
+def phase_ceiling():
+    from lrs_pnp_dip_tpu.data.io import load_reference_pair
+    from lrs_pnp_dip_tpu.utils.config import dip_tuned_preset
+
+    path = os.path.join(RUNS, "dict_ceiling.json")
+    ceilings = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            ceilings = json.load(f)
+    cfg = dip_tuned_preset()
+    for img in ("img4", "img5"):
+        sample = load_reference_pair(img)
+        for kind in ("self", "loo"):
+            key = f"{img}/{kind}_tunedmu"
+            if key in ceilings:
+                continue
+            try:
+                D = _train_dict(kind, img)
+                ceil = _sparse_stage_mpsnr(sample, D, cfg.sparse, sample.clean)
+                ceilings[key] = {"clean_input_mpsnr": ceil}
+                with open(path, "w") as f:
+                    json.dump(ceilings, f, indent=1)
+                log(f"ceiling {key}: clean-input {ceil:.3f} dB")
+            except Exception as e:
+                log(f"ceiling {key} FAILED: {type(e).__name__}: {e}")
+
+
+PHASES = {
+    "tuned_dict": phase_tuned_dict,
+    "bf16": phase_bf16,
+    "ceiling": phase_ceiling,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phases", default="tuned_dict,bf16,ceiling")
+    args = ap.parse_args()
+    start_wedge_watchdog()
+    os.makedirs(RUNS, exist_ok=True)
+    import jax
+
+    log(f"=== round-3b TPU session start (devices: {jax.devices()}) ===")
+    for name in args.phases.split(","):
+        log(f"--- phase {name} ---")
+        import time
+
+        t0 = time.time()
+        try:
+            PHASES[name]()
+        except Exception as e:
+            import traceback
+
+            log(f"phase {name} FAILED: {type(e).__name__}: {e}")
+            traceback.print_exc()
+        log(f"--- phase {name} done in {time.time()-t0:.0f}s ---")
+    log("=== round-3b TPU session done ===")
+
+
+if __name__ == "__main__":
+    main()
