@@ -90,6 +90,35 @@ def main():
                 row.append(f"{rec['clean_input_mpsnr']:.2f}" if rec else "—")
             print(f"| {img} | " + " | ".join(row) + " |")
 
+    tuned_dict = {k: v for k, v in summary.items()
+                  if "_tuned_dict_" in k or k.startswith("dip_tuned_dict_")
+                  or k.startswith("dip_1lip_tuned_dict_")}
+    if tuned_dict:
+        print("\n## Tuned presets with leak-free per-image dictionaries "
+              "(round 3b)\n")
+        print("| Problem | dict | DIP tuned | 1-Lip tuned |")
+        print("|---|---|---|---|")
+        for img in ("img4", "img5"):
+            for kind in ("self", "loo"):
+                a = summary.get(f"dip_tuned_dict_{kind}_{img}")
+                b = summary.get(f"dip_1lip_tuned_dict_{kind}_{img}")
+                if a or b:
+                    print(f"| {img} | {kind} | {fmt(a, with_iter=True)} | "
+                          f"{fmt(b, with_iter=True)} |")
+
+    bf16 = {k: v for k, v in summary.items() if "_bf16" in k}
+    if bf16:
+        print("\n## bf16 fast-path quality (faithful DIP preset, img1)\n")
+        print("| Path | best MPSNR / SSIM |")
+        print("|---|---|")
+        f32 = summary.get("dip_img1")
+        if f32:
+            print(f"| f32 baseline | {fmt(f32, with_iter=True)} |")
+        for k in sorted(bf16):
+            label = {"dip_bf16sparse_img1": "bf16 sparse-prox matmuls",
+                     "dip_bf16full_img1": "bf16 sparse + mixed-precision DIP"}.get(k, k)
+            print(f"| {label} | {fmt(bf16[k], with_iter=True)} |")
+
     heldout = {k: v for k, v in summary.items() if k.startswith("heldout_")}
     if heldout:
         print("\n## Held-out validation (fresh masks + fresh noise, "
