@@ -97,30 +97,66 @@ def phase_bf16():
 
 
 def phase_ceiling():
+    """Decompose the ~34.7-35.1 dB sparse-stage ceiling measured by the
+    gap phase (flat across shipped/self/loo/ORACLE dictionaries): is it a
+    dictionary-expressiveness cap or the ISTA shrinkage floor at the
+    reference's operating point (lambda=0.1, NLM h=T,
+    ``main_LRS_PnP_DIP_pro.py:190-199``)?
+
+      (a) lambda sweep with the oracle dictionary — if the ceiling rises as
+          lambda -> 0, the cap is shrinkage, and NO dictionary at the
+          reference's lambda could express the scene better;
+      (b) atoms = the clean patches themselves (perfectly expressive
+          "dictionary" at K = n_patches) at the faithful lambda;
+      (c) K sweep of oracle K-SVD dictionaries (512 vs 1024 vs 2048).
+    """
+    import dataclasses as dc
+
+    from lrs_pnp_dip_tpu.data.dictionary import extract_training_patches
     from lrs_pnp_dip_tpu.data.io import load_reference_pair
-    from lrs_pnp_dip_tpu.utils.config import dip_tuned_preset
+    from lrs_pnp_dip_tpu.utils.config import dip_preset
 
     path = os.path.join(RUNS, "dict_ceiling.json")
     ceilings = {}
     if os.path.exists(path):
         with open(path) as f:
             ceilings = json.load(f)
-    cfg = dip_tuned_preset()
+
+    def record(key, D, cfg_sparse, sample):
+        if key in ceilings:
+            return
+        try:
+            ceil = _sparse_stage_mpsnr(sample, D, cfg_sparse, sample.clean)
+            ceilings[key] = {"clean_input_mpsnr": ceil}
+            with open(path, "w") as f:
+                json.dump(ceilings, f, indent=1)
+            log(f"ceiling {key}: clean-input {ceil:.3f} dB")
+        except Exception as e:
+            log(f"ceiling {key} FAILED: {type(e).__name__}: {e}")
+
+    base = dip_preset().sparse
     for img in ("img4", "img5"):
         sample = load_reference_pair(img)
-        for kind in ("self", "loo"):
-            key = f"{img}/{kind}_tunedmu"
-            if key in ceilings:
-                continue
+        oracle = _train_dict("oracle", img)
+        # (a) lambda sweep, oracle dictionary
+        for lam in (0.03, 0.01, 0.001):
+            record(f"{img}/oracle_lam{lam}", oracle,
+                   dc.replace(base, lambda_ista=lam), sample)
+        # (b) perfectly expressive dictionary: the clean patches themselves
+        patches = extract_training_patches([sample.clean], 36, stride=1)
+        atoms = patches / np.maximum(np.linalg.norm(patches, axis=0), 1e-8)
+        record(f"{img}/cleanpatches_lam0.1", atoms.astype(np.float32),
+               base, sample)
+        record(f"{img}/cleanpatches_lam0.01", atoms.astype(np.float32),
+               dc.replace(base, lambda_ista=0.01), sample)
+        # (c) K sweep of oracle K-SVD dictionaries
+        for k in (1024, 2048):
             try:
-                D = _train_dict(kind, img)
-                ceil = _sparse_stage_mpsnr(sample, D, cfg.sparse, sample.clean)
-                ceilings[key] = {"clean_input_mpsnr": ceil}
-                with open(path, "w") as f:
-                    json.dump(ceilings, f, indent=1)
-                log(f"ceiling {key}: clean-input {ceil:.3f} dB")
+                D = _train_dict("oracle", img, n_atoms=k)
             except Exception as e:
-                log(f"ceiling {key} FAILED: {type(e).__name__}: {e}")
+                log(f"dict oracle-k{k}/{img} FAILED: {type(e).__name__}: {e}")
+                continue
+            record(f"{img}/oracle_k{k}", D, base, sample)
 
 
 PHASES = {
