@@ -267,7 +267,11 @@ def _measured_mfu():
         with open(path) as f:
             rec = json.load(f)
         v = rec.get("measured_mfu_vs_bf16_peak")
-        return round(float(v), 4) if v is not None else None
+        if v is None or not (0.0 < float(v) < 1.0):
+            # a measured MFU outside (0, 1) is a trace-parse artifact,
+            # never a real number — refuse to propagate it
+            return None
+        return round(float(v), 4)
     except Exception:
         return None
 

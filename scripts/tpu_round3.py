@@ -456,34 +456,49 @@ def phase_profile():
 
     rec = {"chain": chain, "wall_s_traced_call": wall,
            "n_blocks": grid.n_blocks, "n_ista": cfg.n_iter}
-    # parse any chrome-trace the profiler produced for device kernel events
-    events = []
+    # Parse the chrome trace for the DEVICE-lane top-level module event.
+    # The device timeline is the process whose process_name metadata starts
+    # with '/device:'; the whole chained scan appears there as one
+    # 'jit_chained(...)' module event (with 'while'/'closed_call' children —
+    # name-substring matching on child fusions measures the wrong thing,
+    # which is how the first capture printed a 13,000% "MFU").
+    module_us = None
     for tj in glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
                         recursive=True):
         try:
             with gzip.open(tj, "rt") as f:
                 data = json.load(f)
-            for ev in data.get("traceEvents", []):
-                name = ev.get("name", "")
-                if ev.get("ph") == "X" and ("ista" in name.lower()
-                                            or "fusion" in name.lower()
-                                            or "scan" in name.lower()):
-                    events.append((name, ev.get("dur", 0)))
+            evs = data.get("traceEvents", [])
+            device_pids = {
+                ev["pid"] for ev in evs
+                if ev.get("ph") == "M" and ev.get("name") == "process_name"
+                and str(ev.get("args", {}).get("name", "")).startswith("/device:")
+            }
+            for ev in evs:
+                if (ev.get("ph") == "X" and ev.get("pid") in device_pids
+                        and ev.get("name", "").startswith("jit_chained")):
+                    module_us = max(module_us or 0.0, float(ev.get("dur", 0)))
         except Exception as e:
             log(f"profile: could not parse {tj}: {e}")
-    if events:
-        total_us = sum(d for _, d in events)
-        rec["device_events"] = len(events)
-        rec["device_total_ms"] = total_us / 1e3
-        per_prox_s = total_us / 1e6 / chain
+    if module_us:
+        per_prox_s = module_us / 1e6 / chain
         P, K = 1296, 512
         flops = 4.0 * grid.n_blocks * P * K * cfg.n_iter
+        mfu = flops / per_prox_s / 197e12
+        rec["device_module_ms"] = module_us / 1e3
         rec["measured_prox_ms"] = per_prox_s * 1e3
-        rec["measured_mfu_vs_bf16_peak"] = flops / per_prox_s / 197e12
-        log(f"profile: measured {rec['measured_prox_ms']:.3f} ms/prox -> "
-            f"MFU {rec['measured_mfu_vs_bf16_peak']*100:.1f}%")
+        # plausibility gate (VERDICT r2 weak #1 class): a measured MFU must
+        # be a fraction of peak; refuse to record nonsense.
+        if 0.0 < mfu < 1.0:
+            rec["measured_mfu_vs_bf16_peak"] = mfu
+            log(f"profile: measured {rec['measured_prox_ms']:.3f} ms/prox -> "
+                f"MFU {mfu*100:.1f}% of bf16 peak (device-lane module event)")
+        else:
+            rec["invalid_mfu_rejected"] = mfu
+            log(f"profile: implausible MFU {mfu*100:.1f}% rejected "
+                "(trace parse mismatch); not recording measured_mfu")
     else:
-        log("profile: no device kernel events found in trace "
+        log("profile: no device-lane module event found in trace "
             "(remote-tunnel backend may not export device timelines); "
             "keeping wall-clock record only")
     with open(os.path.join(outdir, "measured.json"), "w") as f:
