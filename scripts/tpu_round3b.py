@@ -159,10 +159,93 @@ def phase_ceiling():
             record(f"{img}/oracle_k{k}", D, base, sample)
 
 
+def phase_convergence():
+    """Round-3b finding: the sparse-stage ceiling (~34.7 dB on img4) is
+    IDENTICAL for every dictionary and every lambda — so it is neither a
+    dictionary-expressiveness nor a shrinkage cap.  Remaining suspect: ISTA
+    convergence.  The reference's step rule alpha = 4*trace(H^T H) = 4K for
+    unit-norm atoms (``main_LRS_PnP_DIP_pro.py:190``) shrinks the step as
+    the dictionary grows, so 100 iterations converge far less at K=512 than
+    at small K.  Test: (a) ceiling vs n_iter at K=512, (b) ceiling vs K at
+    the faithful operating point, (c) full faithful solves with the best
+    small-K dictionaries (leak-free 'self' variant included).
+    """
+    import dataclasses as dc
+
+    from lrs_pnp_dip_tpu.data.io import load_reference_pair
+    from lrs_pnp_dip_tpu.utils.config import PRESETS, dip_preset
+
+    path = os.path.join(RUNS, "dict_ceiling.json")
+    ceilings = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            ceilings = json.load(f)
+
+    def record(key, D, cfg_sparse, sample):
+        if key in ceilings:
+            return
+        try:
+            ceil = _sparse_stage_mpsnr(sample, D, cfg_sparse, sample.clean)
+            ceilings[key] = {"clean_input_mpsnr": ceil}
+            with open(path, "w") as f:
+                json.dump(ceilings, f, indent=1)
+            log(f"ceiling {key}: clean-input {ceil:.3f} dB")
+        except Exception as e:
+            log(f"ceiling {key} FAILED: {type(e).__name__}: {e}")
+
+    base = dip_preset().sparse
+    samples = {img: load_reference_pair(img) for img in ("img4", "img5")}
+    # (a) convergence sweep at K=512 (oracle dict, faithful step rule)
+    oracle4 = _train_dict("oracle", "img4")
+    for n in (400, 1600):
+        record(f"img4/oracle_nit{n}", oracle4, dc.replace(base, n_iter=n),
+               samples["img4"])
+    # specnorm step rule (the plain-LRS variant's alpha = ||H||^2,
+    # main_LRS_PnP.py:134 — much larger steps than 4*trace)
+    record("img4/oracle_specnorm", oracle4,
+           dc.replace(base, alpha_mode="specnorm"), samples["img4"])
+    # (b) K sweep at the faithful operating point
+    small = {}
+    for img in ("img4", "img5"):
+        for kind in ("oracle", "self"):
+            for k in (64, 128, 256):
+                try:
+                    small[(img, kind, k)] = _train_dict(kind, img, n_atoms=k)
+                except Exception as e:
+                    log(f"dict {kind}-k{k}/{img} FAILED: {type(e).__name__}: {e}")
+                    continue
+                record(f"{img}/{kind}_k{k}", small[(img, kind, k)], base,
+                       samples[img])
+    # (c) full faithful solves — only where the ceiling actually moved
+    # (>= +1 dB over the K=512 ceiling), and only the best K per (img, kind)
+    base_ceiling = {"img4": 34.78, "img5": 35.09}
+    for img in ("img4", "img5"):
+        for kind in ("self", "oracle"):
+            best_k, best_c = None, base_ceiling[img] + 1.0
+            for k in (64, 128, 256):
+                rec = ceilings.get(f"{img}/{kind}_k{k}")
+                if rec and rec["clean_input_mpsnr"] >= best_c:
+                    best_k, best_c = k, rec["clean_input_mpsnr"]
+            if best_k is None:
+                log(f"convergence: no small-K {kind} dictionary lifts the "
+                    f"{img} ceiling by >=1 dB; skipping full solves")
+                continue
+            D = small[(img, kind, best_k)]
+            for variant in ("dip", "dip_1lip"):
+                tag = f"{variant}_dict_{kind}k{best_k}_{img}"
+                try:
+                    best = run_solver(tag, samples[img], D,
+                                      PRESETS[variant](), 250)
+                    _summary({tag: best})
+                except Exception as e:
+                    log(f"{tag} FAILED: {type(e).__name__}: {e}")
+
+
 PHASES = {
     "tuned_dict": phase_tuned_dict,
     "bf16": phase_bf16,
     "ceiling": phase_ceiling,
+    "convergence": phase_convergence,
 }
 
 
