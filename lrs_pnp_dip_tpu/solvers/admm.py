@@ -298,9 +298,10 @@ class Solver:
         n = self.config.outer_iters if n_iters is None else n_iters
         state = self.init_state() if state is None else state
         if not hasattr(self, "_scan_fn"):
+            _step = self._step
 
-            def scan_body(st, _):
-                new_st, aux = self._step(st, self.consts)
+            def scan_body(st, _, consts):
+                new_st, aux = _step(st, consts)
                 scalars = {
                     "mpsnr": aux.mpsnr,
                     "ssim": aux.ssim,
@@ -313,12 +314,18 @@ class Solver:
 
             import functools as _ft
 
+            # consts is a traced ARGUMENT, not a closure capture: closed-over
+            # arrays are baked into the HLO as literals, which bloats the
+            # executable by the full problem size (a 576x576x128 cube's
+            # consts are ~0.5 GB of literals — enough to break remote
+            # compilation outright) and defeats donation/caching.
             @_ft.partial(jax.jit, static_argnames=("length",))
-            def scan_all(st, length):
-                return jax.lax.scan(scan_body, st, None, length=length)
+            def scan_all(st, consts, length):
+                body = _ft.partial(scan_body, consts=consts)
+                return jax.lax.scan(body, st, None, length=length)
 
             self._scan_fn = scan_all
-        final, hist = self._scan_fn(state, n)
+        final, hist = self._scan_fn(state, self.consts, n)
         return final, {k: np.asarray(v) for k, v in hist.items()}
 
     def result_cube(self, state: SolverState) -> np.ndarray:
