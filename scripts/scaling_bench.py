@@ -21,7 +21,11 @@ share 2 physical cores here, so efficiency beyond 2 "devices" is bounded
 by the host, not the collectives — the numbers are a harness check, not a
 hardware measurement).
 
-Appends one JSON line per (stage, N) to artifacts/scaling.jsonl.
+Appends one JSON line per (stage, N) to artifacts/contention_study.jsonl
+(labeled ``host_oversubscribed`` on a virtual CPU mesh — such runs are a
+harness/contention check, never a scaling-efficiency claim; the committed
+scaling evidence is the analytic model + HLO contract in docs/DESIGN.md §6
+and ``tests/test_scaling_model.py``).
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
-OUT = os.path.join(ROOT, "artifacts", "scaling.jsonl")
+OUT = os.path.join(ROOT, "artifacts", "contention_study.jsonl")
 
 
 def log(msg):
@@ -141,6 +145,9 @@ def main():
                     "stage": stage,
                     "mode": args.mode,
                     "platform": avail[0].platform,
+                    # virtual CPU devices share the host's physical cores:
+                    # such runs measure core contention, not collectives
+                    "host_oversubscribed": avail[0].platform == "cpu",
                     "n_devices": n,
                     "secs_per_call": round(t, 6),
                     "throughput": round(thr, 1),
