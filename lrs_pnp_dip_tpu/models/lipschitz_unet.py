@@ -11,10 +11,22 @@ constrained and every BN weight/bias max-abs normalised:
 
 The conv2x2 layers run un-padded ((k-1)//2 = 0), so spatial sizes follow
 the reference exactly: 36 -> 18 -> 9 -> 5 -> 3 -> 6->5 -> 10->9 -> 18 -> 36.
+
+Size-generic extension: the reference architecture only returns to the
+input size for 36-like spatial geometries (its up path hard-codes the
+36 -> ... -> 3 -> ... -> 36 ladder, ``my_Lipschitz_Unet.py:21-148``).
+Here each up stage mirror-resizes (nearest) to the size recorded at the
+corresponding down stage whenever the conv output does not already match.
+At the reference 36x36 geometry every recorded size is hit exactly, the
+resizes are statically dead, and the compiled graph is the faithful one;
+at any other tile size (48, 72, ...) the net closes to the input shape,
+so ``dip_1lip`` composes with :func:`..solvers.tiled.solve_tiled` at any
+tile size (property-tested in ``tests/test_models.py``).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -55,12 +67,19 @@ class LipschitzUNet(nn.Module):
             return y
 
         y = x
+        down_sizes = []
         for _ in range(4):
+            down_sizes.append(y.shape[1:3])
             y = down_block(y)
-        y = up_block(y, 2)
-        y = up_block(y, 2)
-        y = up_block(y, 3)
-        y = up_block(y, 3)
+        for k, target in zip((2, 2, 3, 3), reversed(down_sizes)):
+            y = up_block(y, k)
+            if y.shape[1:3] != target:
+                # statically dead at the reference 36-geometry (the faithful
+                # ladder lands on every mirror size exactly); at other tile
+                # sizes this closes the net back to the input shape
+                y = jax.image.resize(
+                    y, (y.shape[0], *target, y.shape[3]), method="nearest"
+                )
         y = act(SNBatchNorm2d()(self._conv(1)(y)))
         y = act(
             SNConv2d(

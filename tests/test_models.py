@@ -60,6 +60,19 @@ def test_lipschitz_unet_shapes():
     assert out.shape == (1, 36, 36, 128)
 
 
+@pytest.mark.parametrize("size", [48, 72])
+def test_lipschitz_unet_size_generic(size):
+    """The reference architecture only closes for 36-like spatial sizes
+    (``my_Lipschitz_Unet.py:21-148``); the rebuild mirror-resizes each up
+    stage so any tile size returns to the input shape (VERDICT r3 #9)."""
+    x = jnp.asarray(
+        np.random.default_rng(3).random((1, size, size, 8)), jnp.float32
+    )
+    out, _ = _init_apply(LipschitzUNet(num_output_channels=8, width=8), x)
+    assert out.shape == (1, size, size, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_sigma_power_matches_exact(rng):
     w = jnp.asarray(rng.standard_normal((64, 230)).astype(np.float32))
     exact = float(_sigma_max_exact(w))

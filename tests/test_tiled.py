@@ -32,6 +32,23 @@ def test_solve_tiled_improves_scene(rng):
     assert out > inp
 
 
+def test_solve_tiled_dip_1lip_any_tile_size(rng):
+    """``dip_1lip`` composes with the tiled path at a non-36 tile size now
+    that the Lipschitz UNet is size-generic (VERDICT r3 #9)."""
+    from lrs_pnp_dip_tpu.solvers.dip import DipConfig
+
+    clean, noisy, mask = _scene(rng, H=48, W=48, B=8)
+    D = random_dictionary(64, 32, seed=5)
+    cfg = SolverConfig(
+        variant="dip_1lip", outer_iters=1, block_size=8, stride=8,
+        sparse=SparseProxConfig(n_iter=2), net_width=8,
+        dip=DipConfig(num_iter=2, buffer_size=2, patience=5),
+    )
+    rec = solve_tiled(noisy, mask, D, cfg, tile_shape=(48, 48), tile_batch=1)
+    assert rec.shape == noisy.shape
+    assert np.isfinite(rec).all()
+
+
 def test_solve_tiled_overlap_averaging(rng):
     clean, noisy, mask = _scene(rng, H=24, W=24, B=8)
     D = random_dictionary(64, 32, seed=4)
