@@ -10,8 +10,20 @@ from .collectives import (
     make_sharded_sparse_prox_2d,
 )
 from .engine import ShardedSolver
+from .tensor import (
+    channel_sharding_report,
+    channel_sharding_specs,
+    make_channel_constraint,
+    make_tp_dip_step,
+    shard_channelwise,
+)
 
 __all__ = [
+    "channel_sharding_report",
+    "channel_sharding_specs",
+    "make_channel_constraint",
+    "make_tp_dip_step",
+    "shard_channelwise",
     "make_mesh",
     "mesh_axis_sizes",
     "state_sharding",

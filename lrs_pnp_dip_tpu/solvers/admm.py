@@ -118,19 +118,22 @@ def build_step(
     net=None,
     svt_fn: Optional[Callable] = None,
     sparse_prox_fn: Optional[Callable] = None,
+    dip_param_constraint: Optional[Callable] = None,
 ) -> Callable[[SolverState, ProblemConsts], tuple]:
     """Build the pure outer-step function for one problem geometry.
 
     ``svt_fn(Z, tau)`` and ``sparse_prox_fn(blocks, mask_blocks, D)`` may
     be overridden (e.g. with the distributed Gram-psum SVT / shard_map
-    sparse prox from :mod:`..parallel.collectives`).
+    sparse prox from :mod:`..parallel.collectives`);
+    ``dip_param_constraint`` places the fresh per-iteration DIP params on a
+    mesh (tensor parallelism — ``parallel.tensor.make_channel_constraint``).
     """
     h, w, b = image_shape
     grid = block_grid((h * w, b), config.block_size, config.stride)
     cfg = config
     if cfg.variant in ("dip", "dip_1lip"):
         net = net or default_net(cfg, b)
-        dip_fit = make_dip_fit(net, cfg.dip)
+        dip_fit = make_dip_fit(net, cfg.dip, param_constraint=dip_param_constraint)
     elif cfg.variant != "lrs_pnp":
         raise ValueError(f"unknown variant {cfg.variant!r}")
     svt_fn = svt_fn or svt_gram

@@ -49,11 +49,20 @@ class _FitState(NamedTuple):
     i: jnp.ndarray
 
 
-def make_dip_fit(model: nn.Module, cfg: DipConfig = DipConfig()):
+def make_dip_fit(
+    model: nn.Module, cfg: DipConfig = DipConfig(), param_constraint=None
+):
     """Build a jit-able ``fit(key, dip_input, target, mask) -> DipResult``.
 
     ``dip_input``/``target``: (N, H, W, C); ``mask``: broadcastable to them
     (the observation mask; loss is computed on observed pixels only).
+
+    ``param_constraint`` (optional): a ``pytree -> pytree`` applied to the
+    freshly initialised params/model-state (e.g.
+    ``parallel.tensor.make_channel_constraint`` — tensor parallelism over a
+    ``model`` mesh axis).  It runs INSIDE the fit, because the fresh-per-
+    outer-iteration params never exist outside the jitted step; GSPMD then
+    propagates the layout through the Adam while_loop.
     """
     if cfg.return_mode not in ("last", "window_mean"):
         raise ValueError(
@@ -82,6 +91,9 @@ def make_dip_fit(model: nn.Module, cfg: DipConfig = DipConfig()):
         variables = model.init(key, dip_input)
         params = variables["params"]
         model_state = {k: v for k, v in variables.items() if k != "params"}
+        if param_constraint is not None:
+            params = param_constraint(params)
+            model_state = param_constraint(model_state)
         opt_state = opt.init(params)
         out_dim = 1
         for d in target.shape:
