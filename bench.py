@@ -278,10 +278,19 @@ def _measured_mfu():
 
 def bench_dip(sample, reps, quick):
     """The DIP prox (hot loop #2, ``main_LRS_PnP_DIP_pro.py:409-420``):
-    per-Adam-step device time on the skip-128 net (fixed 200-step budget,
-    early stop disabled so the step count is exact)."""
+    per-Adam-step device time on the skip-128 net, decomposed into
+
+      * the production ``while_loop`` fit (early-stop bookkeeping carried,
+        patience set to never fire so the step count is exact), and
+      * a bare fixed-iteration ``lax.scan`` of forward+backward+Adam with
+        NO early-stop machinery
+
+    so the while_loop/ES overhead is a regression-sensitive number of its
+    own (VERDICT r3 #10 — the 10.7 outer-iters/s flagship embeds ~219 ES
+    iterations; a regression could previously hide inside it)."""
     import jax
     import jax.numpy as jnp
+    import optax
 
     from lrs_pnp_dip_tpu.models import dip_skip_128
     from lrs_pnp_dip_tpu.solvers.dip import DipConfig, make_dip_fit
@@ -305,6 +314,45 @@ def bench_dip(sample, reps, quick):
     compile_s = time.perf_counter() - t0
     times = _timed_reps(fit, key, x, x, mask, warmup=1, reps=reps)
     per_step_ms = min(times) / n_steps * 1e3
+
+    # fixed-iteration scan: same math (fresh init, Adam on masked MSE),
+    # zero early-stop state — the floor the while_loop is compared against
+    opt = optax.adam(cfg.learning_rate)
+
+    def _loss(p, ms, xi, t, m):
+        vs = {"params": p, **ms}
+        if ms:
+            out, new = model.apply(vs, xi, mutable=list(ms))
+        else:
+            out, new = model.apply(vs, xi), {}
+        return jnp.mean((t * m - out * m) ** 2), new
+
+    def _scan_fit(k, xi, t, m):
+        variables = model.init(k, xi)
+        params = variables["params"]
+        mstate = {kk: v for kk, v in variables.items() if kk != "params"}
+        opt_state = opt.init(params)
+
+        def body(carry, _):
+            p, ms, os_ = carry
+            (loss, new), g = jax.value_and_grad(_loss, has_aux=True)(
+                p, ms, xi, t, m
+            )
+            upd, os_ = opt.update(g, os_, p)
+            return (optax.apply_updates(p, upd), new, os_), loss
+
+        _, losses = jax.lax.scan(
+            body, (params, mstate, opt_state), None, length=n_steps
+        )
+        return losses[-1]
+
+    scan_fit = jax.jit(_scan_fit)
+    t0 = time.perf_counter()
+    _force(scan_fit(key, x, x, mask))
+    scan_compile_s = time.perf_counter() - t0
+    scan_times = _timed_reps(scan_fit, key, x, x, mask, warmup=1, reps=reps)
+    scan_step_ms = min(scan_times) / n_steps * 1e3
+
     return {
         "net": "skip-128",
         "n_steps": n_steps,
@@ -312,7 +360,157 @@ def bench_dip(sample, reps, quick):
         "fit": _stats(times),
         "adam_step_ms": round(per_step_ms, 4),
         "adam_steps_per_sec": round(n_steps / min(times), 1),
+        "scan_compile_s": round(scan_compile_s, 2),
+        "fit_scan": _stats(scan_times),
+        "adam_step_scan_ms": round(scan_step_ms, 4),
+        "while_loop_overhead_pct": round(
+            (per_step_ms - scan_step_ms) / scan_step_ms * 100.0, 2
+        ),
     }
+
+
+def bench_sharded_prox(device, Y, D, n_ista, chain, reps):
+    """The shard_map'd sparse prox on a 1-device {patch} mesh — the fused
+    Pallas kernel must run PER SHARD under the mesh (no silent downgrade to
+    the XLA scan, VERDICT r3 #8): the measured device time must match the
+    meshless kernel's."""
+    import jax
+    import jax.numpy as jnp
+
+    from lrs_pnp_dip_tpu.ops.blocks import block_grid, extract_blocks
+    from lrs_pnp_dip_tpu.ops.ista import SparseProxConfig
+    from lrs_pnp_dip_tpu.parallel import make_mesh, make_sharded_sparse_prox
+
+    backend = "pallas" if device.platform not in ("cpu", "gpu") else "xla"
+    cfg = SparseProxConfig(n_iter=n_ista, alpha_mode="trace4", backend=backend)
+    mesh = make_mesh({"patch": 1}, devices=[device])
+    prox = make_sharded_sparse_prox(mesh, cfg, "patch")
+    grid = block_grid(Y.shape, 36, 36)
+    Yd = jax.device_put(jnp.asarray(Y), device)
+    Dd = jax.device_put(jnp.asarray(D), device)
+    blocks = extract_blocks(Yd, grid)
+    mask_blocks = (blocks != 0).astype(jnp.float32)
+
+    noop = jax.jit(lambda x: x + 1.0)
+    x0 = jax.device_put(jnp.float32(1.0), device)
+    roundtrip_s = min(_timed_reps(noop, x0, warmup=2, reps=max(3, reps)))
+
+    def chained(b, m, d):
+        def body(carry, _):
+            return prox(carry, m, d), ()
+
+        out, _ = jax.lax.scan(body, b, None, length=chain)
+        return out.sum()
+
+    chained_j = jax.jit(chained)
+    t0 = time.perf_counter()
+    _force(chained_j(blocks, mask_blocks, Dd))
+    compile_s = time.perf_counter() - t0
+    times = _timed_reps(chained_j, blocks, mask_blocks, Dd, warmup=0, reps=reps)
+    if min(times) < 3.0 * roundtrip_s:
+        raise RuntimeError(
+            f"sharded-prox chain ({min(times)*1e3:.1f} ms) does not dominate "
+            f"the round-trip ({roundtrip_s*1e3:.1f} ms); raise the chain length"
+        )
+    device_s = (min(times) - roundtrip_s) / chain
+    return {
+        "backend": cfg.backend,
+        "mesh": "{patch: 1}",
+        "chain_length": chain,
+        "compile_s": round(compile_s, 2),
+        "device_ms": round(device_s * 1e3, 4),
+        "chained": _stats(times),
+        "block_iters_per_sec": round(grid.n_blocks * n_ista / device_s, 1),
+    }
+
+
+def bench_large_cube(D, reps, quick):
+    """First-class large-cube throughput (VERDICT r3 #6): a 144x144x128
+    whole-scene LRS-PnP outer iteration (16x the reference problem, 2,304
+    blocks) measured as an on-device ``run_scanned``, plus a 288x288x128
+    tile-streamed solve through :func:`solvers.tiled.solve_tiled` — the
+    'arbitrary HxWxB from day one' design goal, driver-captured."""
+    import jax
+    import jax.numpy as jnp
+
+    from lrs_pnp_dip_tpu.data.masks import synthetic_sample
+    from lrs_pnp_dip_tpu.ops.blocks import block_grid
+    from lrs_pnp_dip_tpu.ops.ista import SparseProxConfig
+    from lrs_pnp_dip_tpu.solvers import Solver
+    from lrs_pnp_dip_tpu.utils.config import lrs_pnp_preset
+
+    n_ista = 100
+    cfg = lrs_pnp_preset(
+        outer_iters=2,
+        sparse=SparseProxConfig(n_iter=n_ista, alpha_mode="specnorm", h_scale=0.1),
+    )
+    rec = {}
+
+    # --- whole-scene 144x144x128, one on-device scan -------------------
+    hw = 144
+    sample = synthetic_sample(hw, hw, 128, missing=0.05, seed=0)
+    grid = block_grid((hw * hw, 128), 36, 36)
+    solver = Solver(sample, D, cfg)
+    n_scan = 3 if quick else 5
+    noop = jax.jit(lambda x: x + 1.0)
+    roundtrip_s = min(
+        _timed_reps(noop, jnp.float32(1.0), warmup=2, reps=max(3, reps))
+    )
+    state = solver.init_state()
+    t0 = time.perf_counter()
+    state, hist = solver.run_scanned(n_scan, state=state)
+    float(np.asarray(hist["mpsnr"])[-1])
+    compile_s = time.perf_counter() - t0
+    walls = []
+    for _ in range(max(2, reps // 2)):
+        t0 = time.perf_counter()
+        state, hist = solver.run_scanned(n_scan, state=state)
+        float(np.asarray(hist["mpsnr"])[-1])
+        walls.append(time.perf_counter() - t0)
+    per_iter = max(min(walls) - roundtrip_s, 1e-9) / n_scan
+    if min(walls) < 3.0 * roundtrip_s:
+        raise RuntimeError(
+            f"large-cube scan ({min(walls)*1e3:.1f} ms) does not dominate "
+            f"the round-trip ({roundtrip_s*1e3:.1f} ms)"
+        )
+    P, K = D.shape
+    sparse_flops = 4.0 * grid.n_blocks * P * K * n_ista
+    rec["whole_scene_144"] = {
+        "shape": f"{hw}x{hw}x128",
+        "n_blocks": grid.n_blocks,
+        "compile_s": round(compile_s, 2),
+        "scan_iters": n_scan,
+        "s_per_outer_iter": round(per_iter, 4),
+        "block_iters_per_sec": round(grid.n_blocks * n_ista / per_iter, 1),
+        "sparse_stage_achieved_tflops": round(sparse_flops / per_iter / 1e12, 3),
+        "mpsnr_after": round(float(np.asarray(hist["mpsnr"])[-1]), 3),
+    }
+
+    # --- tile-streamed 288x288x128 through solve_tiled ------------------
+    if not quick:
+        from lrs_pnp_dip_tpu.data.masks import bernoulli_mask, corrupt
+        from lrs_pnp_dip_tpu.solvers.tiled import solve_tiled
+
+        hw2 = 288
+        big = synthetic_sample(hw2, hw2, 128, missing=0.0, seed=1)
+        mask = bernoulli_mask((hw2, hw2), keep_prob=0.95, seed=2)
+        noisy = corrupt(big.clean, mask, noise_sigma=0.12, seed=3)
+        n_tiles = (hw2 // 144) ** 2
+        t0 = time.perf_counter()
+        out = solve_tiled(
+            noisy, mask, D, cfg, tile_shape=(144, 144), tile_batch=1, n_iters=2
+        )
+        wall = time.perf_counter() - t0
+        assert np.isfinite(out).all()
+        rec["tile_streamed_288"] = {
+            "shape": f"{hw2}x{hw2}x128",
+            "tile": "144x144",
+            "n_tiles": n_tiles,
+            "outer_iters": 2,
+            "wall_s_includes_compile": round(wall, 3),
+            "s_per_tile_iter_upper_bound": round(wall / (n_tiles * 2), 4),
+        }
+    return rec
 
 
 def bench_outer(sample, D, reps, quick):
@@ -363,7 +561,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="fewer timing reps")
     p.add_argument("--skip-cpu", action="store_true", help="skip the CPU comparator")
-    p.add_argument("--watchdog", type=int, default=900, help="seconds before wedge fallback")
+    p.add_argument("--watchdog", type=int, default=1500, help="seconds before wedge fallback")
     p.add_argument(
         "--micro-only",
         action="store_true",
@@ -442,11 +640,25 @@ def main():
         if args.micro_only:
             _log("[bench] --micro-only: skipping end-to-end stages")
             raise _MicroOnly
-        _log("[bench] DIP prox (skip-128 Adam steps) ...")
+        _log("[bench] shard_map'd sparse prox ({patch:1} mesh) ...")
+        try:
+            full["sharded_prox"] = bench_sharded_prox(
+                main_dev, Y, D, n_ista, sp["chain_length"], reps
+            )
+            ratio = full["sharded_prox"]["device_ms"] / max(sp["device_ms"], 1e-9)
+            _log(
+                f"[bench] sharded prox: {full['sharded_prox']['device_ms']:.2f} ms "
+                f"device ({ratio:.2f}x the meshless kernel — "
+                f"{'no downgrade' if ratio < 1.5 else 'DOWNGRADE SUSPECTED'})"
+            )
+        except Exception as e:
+            _log(f"[bench] sharded prox failed: {type(e).__name__}: {e}")
+        _log("[bench] DIP prox (skip-128 Adam steps, while_loop vs scan) ...")
         full["dip"] = bench_dip(sample, reps=max(2, reps // 2), quick=args.quick)
         _log(
-            f"[bench] DIP Adam step: {full['dip']['adam_step_ms']:.3f} ms "
-            f"({full['dip']['adam_steps_per_sec']:,.0f} steps/s)"
+            f"[bench] DIP Adam step: {full['dip']['adam_step_ms']:.3f} ms while_loop "
+            f"vs {full['dip']['adam_step_scan_ms']:.3f} ms bare scan "
+            f"(while_loop overhead {full['dip']['while_loop_overhead_pct']:+.1f}%)"
         )
         _log("[bench] full LRS-PnP-DIP outer iteration + run_scanned ...")
         full["outer"] = bench_outer(sample, D, reps=max(2, reps // 2), quick=args.quick)
@@ -456,6 +668,19 @@ def main():
             f"{full['outer']['sustained_s_per_outer_iter']:.3f} s/outer-iter "
             f"over a {full['outer']['scan_iters']}-iter on-device scan"
         )
+        _log("[bench] large-cube throughput (144^2 whole-scene + 288^2 tiled) ...")
+        try:
+            full["large_cube"] = bench_large_cube(
+                D, reps=max(2, reps // 2), quick=args.quick
+            )
+            ws = full["large_cube"]["whole_scene_144"]
+            _log(
+                f"[bench] large cube 144x144x128: {ws['s_per_outer_iter']:.3f} "
+                f"s/outer-iter ({ws['block_iters_per_sec']:,.0f} block-iters/s, "
+                f"{ws['sparse_stage_achieved_tflops']:.1f} TF/s sparse stage)"
+            )
+        except Exception as e:
+            _log(f"[bench] large cube failed: {type(e).__name__}: {e}")
     except _MicroOnly:
         pass
     except Exception as e:  # end-to-end stages are additive — never lose the headline
@@ -476,6 +701,19 @@ def main():
             "outer_iters_per_sec_sustained"
         ),
         "dip_adam_step_ms": full.get("dip", {}).get("adam_step_ms"),
+        "dip_adam_step_scan_ms": full.get("dip", {}).get("adam_step_scan_ms"),
+        "sharded_prox_device_ms": full.get("sharded_prox", {}).get("device_ms"),
+        "large_cube": {
+            "s_per_outer_iter_144": full.get("large_cube", {})
+            .get("whole_scene_144", {})
+            .get("s_per_outer_iter"),
+            "block_iters_per_sec_144": full.get("large_cube", {})
+            .get("whole_scene_144", {})
+            .get("block_iters_per_sec"),
+            "tile_streamed_288_wall_s": full.get("large_cube", {})
+            .get("tile_streamed_288", {})
+            .get("wall_s_includes_compile"),
+        },
         "device_kind": full["device_kind"],
         "reps": reps,
         "chain": sp["chain_length"],

@@ -170,10 +170,15 @@ def pnp_ista_blocks_pallas(
     row_spec = pl.BlockSpec((tile, P), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     dict_spec = pl.BlockSpec((P, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    # under shard_map (the per-shard kernel path, VERDICT r3 #8) the output
+    # varies over every mesh axis any input varies over
+    vma = frozenset().union(
+        *(jax.typeof(a).vma for a in (Y, M, D, alpha, h2s2))
+    )
     coefs = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((nBp, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nBp, K), jnp.float32, vma=vma),
         in_specs=[row_spec, row_spec, dict_spec, vec_spec, vec_spec],
         out_specs=pl.BlockSpec((tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(

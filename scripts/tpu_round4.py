@@ -1,0 +1,266 @@
+"""Round-4 TPU measurement session — one long-lived process, serial phases.
+
+Everything TPU-side runs inside this single process (the axon tunnel
+grants the chip exclusively per process, CLAUDE.md), with a wedge watchdog
+and per-phase resume.  Phases:
+
+  seeds   — seed-variance of the FAITHFUL presets on the dense-mask
+            problems (VERDICT r3 next #1): >=8 seeds of faithful
+            ``dip_1lip`` on img3/img4/img5 and faithful ``dip`` on
+            img4/img5, each a full 250-iteration run via ``run_scanned``
+            (one on-device scan per run).  The algorithm is stochastic
+            (fresh DIP net per outer iteration,
+            ``main_LRS_PnP_DIP_pro.py:215-221``) and the reference's
+            committed PNGs are hand-picked iterations of single runs —
+            this measures whether the 2-3.7 dB faithful gap is within the
+            seed spread.  -> artifacts/runs_r4/seed_variance.json
+  classic — the sparse-stage ceiling experiment re-run under the CLASSIC
+            NLM spec (VERDICT r3 next #3): the MATLAB twin's
+            ``NLmeansfilter.m:32-78`` wmax-rule semantics instead of the
+            Python reference's skimage fast mode
+            (``main_LRS_PnP_DIP_pro.py:199``).  If the img4/img5 ceilings
+            survive the denoiser-spec swap, the ceiling is a property of
+            the synthesis model, not of the fast-NLM implementation choice
+            (removes the single-spec dependency of VERDICT r3 weak #1).
+            Also one faithful dip solve on img4 under the classic spec.
+            -> artifacts/runs_r4/classic_nlm.json
+
+Usage:  python -u scripts/tpu_round4.py [--phases seeds,classic] [--seeds N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+ART = os.path.join(ROOT, "artifacts")
+RUNS = os.path.join(ART, "runs_r4")
+
+_last_progress = [time.time()]
+
+
+def log(msg):
+    _last_progress[0] = time.time()
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def start_wedge_watchdog(stall_s: float = 1500.0):
+    def watch():
+        while True:
+            time.sleep(60)
+            if time.time() - _last_progress[0] > stall_s:
+                print(f"[watchdog] no progress in {stall_s:.0f}s — tunnel "
+                      "wedged, exiting 3", flush=True)
+                os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
+def _load_json(path):
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_json(path, rec):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
+
+
+# ---------------------------------------------------------------- seeds
+
+
+def _scanned_run(sample, D, cfg, n_iters, seed):
+    """One full solve as a single on-device scan; returns the per-iteration
+    scalar history (mpsnr/ssim/dip_iters arrays)."""
+    from lrs_pnp_dip_tpu.solvers import Solver
+
+    solver = Solver(sample, D, cfg)
+    state = solver.init_state(seed=seed)
+    final, hist = solver.run_scanned(n_iters, state=state)
+    return hist
+
+
+def phase_seeds(n_seeds: int):
+    from lrs_pnp_dip_tpu.data.dictionary import load_trained_dictionary
+    from lrs_pnp_dip_tpu.data.io import load_reference_pair
+    from lrs_pnp_dip_tpu.utils.config import PRESETS
+
+    out_path = os.path.join(RUNS, "seed_variance.json")
+    results = _load_json(out_path)
+    D = load_trained_dictionary(512)
+
+    plan = [("dip_1lip", img) for img in ("img3", "img4", "img5")]
+    plan += [("dip", img) for img in ("img4", "img5")]
+
+    for variant, img in plan:
+        sample = load_reference_pair(img)
+        cfg = PRESETS[variant]()
+        for seed in range(n_seeds):
+            key = f"{variant}_{img}_seed{seed}"
+            if key in results:
+                log(f"{key}: already measured "
+                    f"(best {results[key]['best_mpsnr']:.3f}), skipping")
+                continue
+            t0 = time.time()
+            try:
+                hist = _scanned_run(sample, D, cfg, 250, seed)
+            except Exception as e:
+                log(f"{key} FAILED: {type(e).__name__}: {e}")
+                continue
+            mpsnr = np.asarray(hist["mpsnr"])
+            ssim = np.asarray(hist["ssim"])
+            best_i = int(np.nanargmax(mpsnr))
+            results[key] = {
+                "variant": variant,
+                "img": img,
+                "seed": seed,
+                "best_mpsnr": float(mpsnr[best_i]),
+                "best_iter": best_i,
+                "ssim_at_best": float(ssim[best_i]),
+                "final_mpsnr": float(mpsnr[-1]),
+                "mean_dip_iters": float(np.mean(np.asarray(hist["dip_iters"]))),
+            }
+            _save_json(out_path, results)
+            log(f"{key}: best {mpsnr[best_i]:.3f} dB (iter {best_i}, "
+                f"ssim {ssim[best_i]:.4f}) in {time.time()-t0:.0f}s")
+
+    # aggregate per (variant, img)
+    agg = {}
+    for variant, img in plan:
+        vals = [r["best_mpsnr"] for r in results.values()
+                if isinstance(r, dict)
+                and r.get("variant") == variant and r.get("img") == img]
+        if vals:
+            agg[f"{variant}_{img}"] = {
+                "n": len(vals),
+                "mean": round(float(np.mean(vals)), 3),
+                "std": round(float(np.std(vals)), 3),
+                "min": round(float(np.min(vals)), 3),
+                "max": round(float(np.max(vals)), 3),
+            }
+    results["_aggregate"] = agg
+    _save_json(out_path, results)
+    for k, v in agg.items():
+        log(f"seed spread {k}: mean {v['mean']} ± {v['std']} "
+            f"(min {v['min']}, max {v['max']}, n={v['n']})")
+
+
+# -------------------------------------------------------------- classic
+
+
+def _sparse_stage_mpsnr(sample, D, cfg_sparse, input_cube):
+    """Reconstruction quality of the sparse stage alone (the ceiling oracle
+    of scripts/tpu_round3.py, reused verbatim for the classic-NLM spec)."""
+    import jax.numpy as jnp
+
+    from lrs_pnp_dip_tpu.data.io import matricize, unmatricize
+    from lrs_pnp_dip_tpu.ops.blocks import block_grid, extract_blocks, scatter_blocks
+    from lrs_pnp_dip_tpu.ops.ista import sparse_prox
+    from lrs_pnp_dip_tpu.ops.metrics import mpsnr
+
+    H, W, B = sample.shape
+    grid = block_grid((H * W, B), 36, 36)
+    Y = jnp.asarray(matricize(input_cube))
+    mask2d = jnp.asarray(
+        np.broadcast_to(sample.mask.reshape(-1, 1), (H * W, B)).copy()
+    )
+    mask_blocks = extract_blocks(mask2d, grid)
+    blocks = extract_blocks(Y, grid)
+    phi = sparse_prox(blocks, mask_blocks, jnp.asarray(D), cfg_sparse)
+    recon = scatter_blocks(phi, grid) / grid.weight()
+    return float(mpsnr(jnp.asarray(sample.clean), unmatricize(recon, H, W)))
+
+
+def phase_classic():
+    from lrs_pnp_dip_tpu.data.dictionary import load_trained_dictionary
+    from lrs_pnp_dip_tpu.data.io import load_reference_pair
+    from lrs_pnp_dip_tpu.utils.config import dip_preset
+
+    out_path = os.path.join(RUNS, "classic_nlm.json")
+    rec = _load_json(out_path)
+    D = load_trained_dictionary(512)
+    cfg = dip_preset()
+    classic_sparse = dataclasses.replace(
+        cfg.sparse, denoiser="nlm_classic", backend="xla"
+    )
+
+    # (a) ceilings under both denoiser specs, side by side
+    for img in ("img4", "img5"):
+        sample = load_reference_pair(img)
+        for spec, sparse_cfg in (("fast", cfg.sparse), ("classic", classic_sparse)):
+            key = f"ceiling_{img}_{spec}"
+            if key in rec:
+                log(f"{key}: cached {rec[key]:.3f}")
+                continue
+            t0 = time.time()
+            rec[key] = _sparse_stage_mpsnr(sample, D, sparse_cfg, sample.clean)
+            _save_json(out_path, rec)
+            log(f"{key}: {rec[key]:.3f} dB ({time.time()-t0:.0f}s)")
+
+    # (b) one faithful dip solve on img4 under the classic spec
+    key = "dip_img4_classic_best"
+    if key not in rec:
+        sample = load_reference_pair("img4")
+        cfg_classic = dataclasses.replace(cfg, sparse=classic_sparse)
+        t0 = time.time()
+        hist = _scanned_run(sample, D, cfg_classic, 250, seed=0)
+        mpsnr = np.asarray(hist["mpsnr"])
+        best_i = int(np.nanargmax(mpsnr))
+        rec[key] = float(mpsnr[best_i])
+        rec["dip_img4_classic_best_iter"] = best_i
+        rec["dip_img4_classic_ssim"] = float(np.asarray(hist["ssim"])[best_i])
+        _save_json(out_path, rec)
+        log(f"{key}: {rec[key]:.3f} dB (iter {best_i}) "
+            f"in {time.time()-t0:.0f}s")
+    else:
+        log(f"{key}: cached {rec[key]:.3f}")
+
+
+PHASES = {
+    "seeds": phase_seeds,
+    "classic": phase_classic,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phases", default="seeds,classic")
+    ap.add_argument("--seeds", type=int, default=8)
+    args = ap.parse_args()
+    start_wedge_watchdog()
+    os.makedirs(RUNS, exist_ok=True)
+    import jax
+
+    log(f"=== round-4 TPU session start (devices: {jax.devices()}) ===")
+    for name in args.phases.split(","):
+        log(f"--- phase {name} ---")
+        t0 = time.time()
+        try:
+            if name == "seeds":
+                phase_seeds(args.seeds)
+            else:
+                PHASES[name]()
+        except Exception as e:
+            import traceback
+
+            log(f"phase {name} FAILED: {type(e).__name__}: {e}")
+            traceback.print_exc()
+        log(f"--- phase {name} done in {time.time()-t0:.0f}s ---")
+    log("=== round-4 TPU session done ===")
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,34 @@ def test_sharded_lrs_pnp_matches_single_device():
     np.testing.assert_allclose(h1["mpsnr"], np.asarray(h2["mpsnr"]).ravel(), atol=1e-2)
 
 
+def test_sharded_sparse_prox_pallas_matches_xla(rng):
+    """The fused Pallas ISTA kernel runs PER SHARD under the patch mesh
+    (interpret mode off-TPU) and must match the XLA scan path exactly —
+    no silent backend downgrade under a mesh (VERDICT r3 #8)."""
+    from lrs_pnp_dip_tpu.parallel import make_sharded_sparse_prox
+
+    mesh = make_mesh({"patch": 8})
+    nB, P, K = 24, 128, 64
+    D = random_dictionary(P, K, seed=5)
+    blocks = jnp.asarray(rng.standard_normal((nB, P)).astype(np.float32))
+    mask = jnp.asarray((rng.random((nB, P)) > 0.15).astype(np.float32))
+    blocks = blocks * mask
+
+    cfg_xla = SparseProxConfig(n_iter=4, backend="xla")
+    cfg_pl = SparseProxConfig(n_iter=4, backend="pallas")
+    ref = np.asarray(
+        jax.jit(make_sharded_sparse_prox(mesh, cfg_xla, "patch"))(
+            blocks, mask, jnp.asarray(D)
+        )
+    )
+    got = np.asarray(
+        jax.jit(make_sharded_sparse_prox(mesh, cfg_pl, "patch"))(
+            blocks, mask, jnp.asarray(D)
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 def test_batched_solver_matches_per_sample():
     """vmap over samples == independent single solves."""
     samples = [
