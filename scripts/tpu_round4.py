@@ -82,15 +82,34 @@ def _save_json(path, rec):
 # ---------------------------------------------------------------- seeds
 
 
-def _scanned_run(sample, D, cfg, n_iters, seed):
-    """One full solve as a single on-device scan; returns the per-iteration
-    scalar history (mpsnr/ssim/dip_iters arrays)."""
+USE_SCAN = os.environ.get("R4_STEPPED", "") == ""
+
+
+def _scanned_run(sample, D, cfg, n_iters, seed, solver=None):
+    """One full solve; returns the per-iteration scalar history
+    (mpsnr/ssim/dip_iters arrays).  Pass ``solver`` to reuse a compiled
+    engine across seeds (only the PRNG key in the initial state changes —
+    same jitted computation).  Default: one on-device ``lax.scan``
+    (zero host round-trips); ``R4_STEPPED=1`` falls back to host-stepped
+    iteration (compiles only the single step — the escape hatch if the
+    scan-of-250 compile is pathological on the remote-compile tunnel)."""
+    import numpy as _np
+
     from lrs_pnp_dip_tpu.solvers import Solver
 
-    solver = Solver(sample, D, cfg)
+    if solver is None:
+        solver = Solver(sample, D, cfg)
     state = solver.init_state(seed=seed)
-    final, hist = solver.run_scanned(n_iters, state=state)
-    return hist
+    if USE_SCAN:
+        final, hist = solver.run_scanned(n_iters, state=state)
+        return hist
+    hist = {"mpsnr": [], "ssim": [], "dip_iters": []}
+    for _ in range(n_iters):
+        state, aux = solver.step(state)
+        hist["mpsnr"].append(float(aux.mpsnr))
+        hist["ssim"].append(float(aux.ssim))
+        hist["dip_iters"].append(int(aux.dip_iters))
+    return {k: _np.asarray(v) for k, v in hist.items()}
 
 
 def phase_seeds(n_seeds: int):
@@ -105,9 +124,12 @@ def phase_seeds(n_seeds: int):
     plan = [("dip_1lip", img) for img in ("img3", "img4", "img5")]
     plan += [("dip", img) for img in ("img4", "img5")]
 
+    from lrs_pnp_dip_tpu.solvers import Solver
+
     for variant, img in plan:
         sample = load_reference_pair(img)
         cfg = PRESETS[variant]()
+        solver = None
         for seed in range(n_seeds):
             key = f"{variant}_{img}_seed{seed}"
             if key in results:
@@ -116,7 +138,9 @@ def phase_seeds(n_seeds: int):
                 continue
             t0 = time.time()
             try:
-                hist = _scanned_run(sample, D, cfg, 250, seed)
+                if solver is None:
+                    solver = Solver(sample, D, cfg)
+                hist = _scanned_run(sample, D, cfg, 250, seed, solver=solver)
             except Exception as e:
                 log(f"{key} FAILED: {type(e).__name__}: {e}")
                 continue
