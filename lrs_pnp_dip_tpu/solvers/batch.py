@@ -81,3 +81,91 @@ class BatchedSolver:
     def result_cubes(self, state: SolverState) -> np.ndarray:
         h, w, b = self.shape
         return np.asarray(state.X).reshape(-1, h, w, b)
+
+
+class SeedEnsembleSolver:
+    """Solve ONE problem under N independent PRNG seeds in lockstep.
+
+    The algorithm is stochastic (a fresh DIP net is initialised every outer
+    iteration, reference ``main_LRS_PnP_DIP_pro.py:215-221``), so
+    production recovery wants the seed spread — mean/max best-MPSNR, or an
+    ensemble-averaged cube — not a single draw.  The round-4 seed-variance
+    study (RESULTS.md) ran 8 seeds x 250 iterations sequentially; this
+    engine vmaps the same pure step over the seed axis with the problem
+    constants SHARED (``in_axes=(0, None)``) — one compiled step advances
+    every seed, and the consts (dictionary, target, masks) are kept once,
+    not N times.
+
+    The reference has no equivalent (one hand-picked run per figure).
+    """
+
+    def __init__(
+        self,
+        sample: HsiSample,
+        dictionary: np.ndarray,
+        config: SolverConfig,
+        seeds: Sequence[int],
+        net=None,
+        jit_step: bool = True,
+    ):
+        if not seeds:
+            raise ValueError("need at least one seed")
+        self.sample = sample
+        self.config = config
+        self.seeds = list(seeds)
+        self.shape = sample.shape
+        self.consts = make_consts(sample, dictionary, config)
+        step = build_step(config, self.shape, net=net)
+        vstep = jax.vmap(step, in_axes=(0, None))
+        self._step = jax.jit(vstep) if jit_step else vstep
+
+    def init_state(self) -> SolverState:
+        return stack_states([init_state(self.sample, s) for s in self.seeds])
+
+    def step(self, state: SolverState):
+        return self._step(state, self.consts)
+
+    def run(self, n_iters: Optional[int] = None, state=None):
+        """Host-stepped loop; returns (final_state, hist) with hist arrays
+        of shape (n_iters, n_seeds)."""
+        n = self.config.outer_iters if n_iters is None else n_iters
+        state = self.init_state() if state is None else state
+        hist = {k: [] for k in ("mpsnr", "ssim", "dip_iters")}
+        for _ in range(n):
+            state, aux = self.step(state)
+            for k in hist:
+                hist[k].append(np.asarray(getattr(aux, k)))
+        return state, {k: np.stack(v) for k, v in hist.items()}
+
+    def run_scanned(self, n_iters: Optional[int] = None, state=None):
+        """All iterations for all seeds as ONE on-device ``lax.scan``."""
+        import functools
+
+        n = self.config.outer_iters if n_iters is None else n_iters
+        state = self.init_state() if state is None else state
+        _step = self._step
+
+        def body(st, _, consts):
+            new_st, aux = _step(st, consts)
+            return new_st, {"mpsnr": aux.mpsnr, "ssim": aux.ssim,
+                            "dip_iters": aux.dip_iters}
+
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def scan_all(st, consts, length):
+            return jax.lax.scan(
+                functools.partial(body, consts=consts), st, None, length=length
+            )
+
+        final, hist = scan_all(state, self.consts, n)
+        return final, {k: np.asarray(v) for k, v in hist.items()}
+
+    def spread(self, hist) -> dict:
+        """Per-seed best MPSNR + aggregate stats from a run's history."""
+        best = np.nanmax(np.asarray(hist["mpsnr"]), axis=0)  # (n_seeds,)
+        return {
+            "per_seed_best": best.tolist(),
+            "mean": float(np.mean(best)),
+            "std": float(np.std(best)),
+            "min": float(np.min(best)),
+            "max": float(np.max(best)),
+        }
