@@ -54,7 +54,9 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def start_wedge_watchdog(stall_s: float = 1500.0):
+def start_wedge_watchdog(
+    stall_s: float = float(os.environ.get("R4_STALL", "1500")),
+):
     def watch():
         while True:
             time.sleep(60)
@@ -253,9 +255,76 @@ def phase_classic():
         log(f"{key}: cached {rec[key]:.3f}")
 
 
+# ------------------------------------------------------------- ensemble
+
+
+def phase_ensemble(n_seeds: int = 8):
+    """Seed-ensemble estimator (round-4 capability): solve each canonical
+    problem under ``n_seeds`` PRNG seeds in ONE vmapped on-device scan and
+    measure the ENSEMBLE-MEAN cube's quality per iteration.  Averaging
+    independent DIP draws cancels per-draw noise; the best-iteration
+    ensemble mean is the framework's strongest estimator (the reference
+    has no equivalent — one hand-picked run per figure).
+    -> artifacts/runs_r4/ensemble.json"""
+    from lrs_pnp_dip_tpu.data.dictionary import load_trained_dictionary
+    from lrs_pnp_dip_tpu.data.io import load_reference_pair
+    from lrs_pnp_dip_tpu.solvers import SeedEnsembleSolver
+    from lrs_pnp_dip_tpu.utils.config import PRESETS
+
+    out_path = os.path.join(RUNS, "ensemble.json")
+    rec = _load_json(out_path)
+    D = load_trained_dictionary(512)
+
+    plan = [("dip_1lip_tuned", img)
+            for img in ("img1", "img2", "img3", "img4", "img5")]
+    plan += [("dip", "img1")]
+
+    for variant, img in plan:
+        key = f"ens_{variant}_{img}"
+        if key in rec:
+            log(f"{key}: cached (ens best {rec[key]['ens_best_mpsnr']:.3f})")
+            continue
+        sample = load_reference_pair(img)
+        cfg = PRESETS[variant]()
+        t0 = time.time()
+        try:
+            ens = SeedEnsembleSolver(sample, D, cfg, seeds=list(range(n_seeds)))
+            if os.environ.get("R4_ENS_STEPPED"):
+                # host-stepped fallback: the scan-of-250-vmapped-steps
+                # executable crashed the remote TPU worker (kernel fault
+                # at ~25 min compile); the single vmapped step compiles
+                # and runs fine
+                final, hist = ens.run(250)
+            else:
+                final, hist = ens.run_scanned(250)
+        except Exception as e:
+            log(f"{key} FAILED: {type(e).__name__}: {e}")
+            continue
+        wall = time.time() - t0
+        em = np.asarray(hist["ens_mpsnr"])
+        best_i = int(np.nanargmax(em))
+        spread = ens.spread(hist)
+        rec[key] = {
+            "variant": variant,
+            "img": img,
+            "n_seeds": n_seeds,
+            "ens_best_mpsnr": float(em[best_i]),
+            "ens_best_iter": best_i,
+            "ens_ssim_at_best": float(np.asarray(hist["ens_ssim"])[best_i]),
+            "per_seed_best_mean": round(spread["mean"], 3),
+            "per_seed_best_max": round(spread["max"], 3),
+            "wall_s": round(wall, 1),
+        }
+        _save_json(out_path, rec)
+        log(f"{key}: ensemble-mean best {em[best_i]:.3f} dB (iter {best_i}) "
+            f"vs per-seed max {spread['max']:.3f}; wall {wall:.0f}s "
+            f"({wall/n_seeds:.1f}s/seed amortized)")
+
+
 PHASES = {
     "seeds": phase_seeds,
     "classic": phase_classic,
+    "ensemble": phase_ensemble,
 }
 
 

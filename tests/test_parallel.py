@@ -125,7 +125,12 @@ def test_seed_ensemble_matches_independent_runs(variant, atol):
     cfg = _cfg(variant=variant)
     seeds = [3, 11]
     ens = SeedEnsembleSolver(s, D, cfg, seeds)
-    st_e, hist_e = ens.run_scanned(2)
+    # lrs_pnp exercises the host-stepped run() (the large-program
+    # fallback); dip exercises the single-scan run_scanned()
+    if variant == "lrs_pnp":
+        st_e, hist_e = ens.run(2)
+    else:
+        st_e, hist_e = ens.run_scanned(2)
     assert hist_e["mpsnr"].shape == (2, len(seeds))
     for i, seed in enumerate(seeds):
         solver = Solver(s, D, cfg)
@@ -142,6 +147,9 @@ def test_seed_ensemble_matches_independent_runs(variant, atol):
         )
     spread = ens.spread(hist_e)
     assert spread["max"] >= spread["mean"] >= spread["min"]
+    # ensemble-mean trajectory is recorded and finite
+    assert hist_e["ens_mpsnr"].shape == (2,)
+    assert np.isfinite(hist_e["ens_mpsnr"]).all()
 
 
 def test_large_cube_shapes_supported():
