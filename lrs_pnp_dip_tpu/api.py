@@ -10,7 +10,7 @@ observed data (masked entries excluded by using the observed pixels only).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -58,10 +58,19 @@ def inpaint(
     dictionary: Optional[np.ndarray] = None,
     config: Optional[SolverConfig] = None,
     n_iters: Optional[int] = None,
+    seeds: Optional[Sequence[int]] = None,
     **preset_overrides,
 ) -> Tuple[np.ndarray, dict]:
-    """Recover a masked+noisy (H, W, B) cube.  Returns (cube, history)."""
-    from .solvers import Solver
+    """Recover a masked+noisy (H, W, B) cube.  Returns (cube, history).
+
+    ``seeds``: run a seed ENSEMBLE instead of a single solve — the DIP
+    variants are stochastic (fresh net per outer iteration), and the
+    ensemble-mean of N independent draws is a stronger estimator than any
+    single run (see RESULTS.md).  The returned cube is the ensemble mean
+    at the final iteration; ``history`` carries per-seed ``mpsnr``
+    (n_iters, n_seeds) plus the ensemble trajectory ``ens_mpsnr``.
+    """
+    from .solvers import SeedEnsembleSolver, Solver
 
     sample = HsiSample(
         noisy=np.asarray(noisy, np.float32),
@@ -71,6 +80,12 @@ def inpaint(
     cfg = config or PRESETS[variant](**preset_overrides)
     if dictionary is None:
         dictionary = _auto_dictionary(sample, cfg)
+    if seeds is not None:
+        ens = SeedEnsembleSolver(sample, dictionary, cfg, seeds)
+        state, hist = ens.run(n_iters)
+        h, w, b = sample.shape
+        cube = np.asarray(state.X).mean(axis=0).reshape(h, w, b)
+        return cube, hist
     solver = Solver(sample, dictionary, cfg)
     state, hist = solver.run(n_iters=n_iters)
     return solver.result_cube(state), hist

@@ -21,6 +21,25 @@ def test_inpaint_one_call_auto_dictionary():
     assert hist["mpsnr"][-1] > inp - 0.5  # no divergence; usually improves
 
 
+def test_inpaint_seed_ensemble():
+    """seeds=[...] runs the ensemble engine and returns the mean cube."""
+    from lrs_pnp_dip_tpu.solvers.dip import DipConfig
+
+    s = synthetic_sample(height=16, width=16, bands=16, missing=0.08, seed=22)
+    cfg = SolverConfig(
+        variant="dip", outer_iters=2, block_size=8, stride=8,
+        sparse=SparseProxConfig(n_iter=4),
+        dip=DipConfig(num_iter=4, learning_rate=0.05, buffer_size=3, patience=10),
+    )
+    cube, hist = lrs.inpaint(
+        s.noisy, s.mask, config=cfg, clean=s.clean, seeds=[0, 1]
+    )
+    assert cube.shape == s.noisy.shape
+    assert hist["mpsnr"].shape == (2, 2)
+    assert hist["ens_mpsnr"].shape == (2,)
+    assert np.isfinite(hist["ens_mpsnr"]).all()
+
+
 def test_config_dip_net_selection():
     from lrs_pnp_dip_tpu.solvers.admm import default_net
     from lrs_pnp_dip_tpu.utils.config import dip_preset
