@@ -278,6 +278,11 @@ def phase_ensemble(n_seeds: int = 8):
     plan = [("dip_1lip_tuned", img)
             for img in ("img1", "img2", "img3", "img4", "img5")]
     plan += [("dip", "img1")]
+    only = os.environ.get("R4_ENS_ONLY")
+    if only:
+        keep = set(only.split(","))
+        plan = [(v, img) for v, img in plan if img in keep or v in keep
+                or f"{v}_{img}" in keep]
 
     for variant, img in plan:
         key = f"ens_{variant}_{img}"
