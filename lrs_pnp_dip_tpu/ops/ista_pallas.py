@@ -46,11 +46,13 @@ def _reflect_selector(K: int, pad: int) -> jnp.ndarray:
     return (k == sel).astype(jnp.float32)
 
 
-def _nlm1d_in_kernel(G, h2s2, S):
+def _nlm1d_in_kernel(G, neg_inv_h2s2, S):
     """Closed-form (K,1)-image NLM on a (nB, K) tile (VPU math).
 
     Mirrors nlm_column_batch_fast: reflect pad 5, per-offset weights
     w_delta = exp(-3*window_sum/(9 h^2)), multiplicities 8 (self) / 7.
+    ``neg_inv_h2s2`` = -1/(9 h^2) precomputed per block: the VPU division
+    is hoisted out of the loop (3 divides/element/iteration otherwise).
     """
     nb, K = G.shape
     pad = 5
@@ -69,7 +71,7 @@ def _nlm1d_in_kernel(G, h2s2, S):
     for delta in (1, 2, 3):
         sq = (P[:, : L - delta] - P[:, delta:]) ** 2
         dist = 3.0 * (sq[:, :-2] + sq[:, 1:-1] + sq[:, 2:])
-        w = 7.0 * jnp.exp(-dist / h2s2)  # w[:, j] = weight at row j+1
+        w = 7.0 * jnp.exp(dist * neg_inv_h2s2)  # w[:, j] = weight at row j+1
         num = num + shift(w * P[:, 1 + delta : L - 1], 1, delta + 1)
         num = num + shift(w * P[:, 1 : L - delta - 1], 1 + delta, 1)
         den = den + shift(w, 1, delta + 1) + shift(w, 1 + delta, 1)
@@ -77,13 +79,13 @@ def _nlm1d_in_kernel(G, h2s2, S):
 
 
 def _ista_kernel(
-    ym_ref, m_ref, d_ref, inv_alpha_ref, h2s2_ref, out_ref, *, n_iter, mm_dtype
+    ym_ref, m_ref, d_ref, inv_alpha_ref, nih_ref, out_ref, *, n_iter, mm_dtype
 ):
     Ym = ym_ref[:]  # (nB, P) pre-masked target
     M = m_ref[:]  # (nB, P)
     D = d_ref[:]  # (P, K)
     inv_alpha = inv_alpha_ref[:]  # (nB, 1)
-    h2s2 = h2s2_ref[:]  # (nB, 1)
+    neg_inv_h2s2 = nih_ref[:]  # (nB, 1): -1/(9 h^2)
     S = _reflect_selector(D.shape[1], 5)
     # bf16 option: MXU operands in bf16 with f32 accumulation (2x matmul
     # throughput on v5e); everything else — residual, NLM, carry — is f32.
@@ -98,7 +100,7 @@ def _ista_kernel(
         g = x + jnp.dot(
             R.astype(mm_dtype), Dm, preferred_element_type=jnp.float32
         ) * inv_alpha
-        return _nlm1d_in_kernel(g, h2s2, S)
+        return _nlm1d_in_kernel(g, neg_inv_h2s2, S)
 
     x0 = jnp.zeros(out_ref.shape, jnp.float32)
     out_ref[:] = jax.lax.fori_loop(0, n_iter, body, x0)
@@ -131,6 +133,7 @@ def pnp_ista_blocks_pallas(
     alpha = jnp.maximum(alpha, 1e-12)
     h = cfg.h_scale * cfg.lambda_ista / (2.0 * alpha)
     h2s2 = jnp.maximum(h * h * 9.0, 1e-30)
+    neg_inv_h2s2 = -1.0 / h2s2
 
     # round the block count up to the f32 sublane tile (8)
     pad_b = (-nB) % 8
@@ -138,7 +141,7 @@ def pnp_ista_blocks_pallas(
         Y = jnp.pad(Y, ((0, pad_b), (0, 0)))
         M = jnp.pad(M, ((0, pad_b), (0, 0)))
         alpha = jnp.pad(alpha, (0, pad_b), constant_values=1.0)
-        h2s2 = jnp.pad(h2s2, (0, pad_b), constant_values=1.0)
+        neg_inv_h2s2 = jnp.pad(neg_inv_h2s2, (0, pad_b), constant_values=-1.0)
     nBp = nB + pad_b
 
     kernel = functools.partial(
@@ -163,7 +166,7 @@ def pnp_ista_blocks_pallas(
             Y = jnp.pad(Y, ((0, pad_tile), (0, 0)))
             M = jnp.pad(M, ((0, pad_tile), (0, 0)))
             alpha = jnp.pad(alpha, (0, pad_tile), constant_values=1.0)
-            h2s2 = jnp.pad(h2s2, (0, pad_tile), constant_values=1.0)
+            neg_inv_h2s2 = jnp.pad(neg_inv_h2s2, (0, pad_tile), constant_values=-1.0)
         nBp = nBp + pad_tile
     grid = (nBp // tile,)
 
@@ -173,7 +176,7 @@ def pnp_ista_blocks_pallas(
     # under shard_map (the per-shard kernel path, VERDICT r3 #8) the output
     # varies over every mesh axis any input varies over
     vma = frozenset().union(
-        *(jax.typeof(a).vma for a in (Y, M, D, alpha, h2s2))
+        *(jax.typeof(a).vma for a in (Y, M, D, alpha, neg_inv_h2s2))
     )
     coefs = pl.pallas_call(
         kernel,
@@ -187,5 +190,5 @@ def pnp_ista_blocks_pallas(
             transcendentals=3 * nBp * K * cfg.n_iter,
         ),
         interpret=interpret,
-    )(M * Y, M, D, (1.0 / alpha)[:, None], h2s2[:, None])
+    )(M * Y, M, D, (1.0 / alpha)[:, None], neg_inv_h2s2[:, None])
     return coefs[:nB]
