@@ -7,7 +7,7 @@ paths.
 
 Usage:
   python scripts/run_reference.py --variant dip --image img1 --mask mask1 \
-      --iters 40 [--log out.jsonl] [--panels results_dir]
+      --iters 40 [--log out.jsonl] [--panels results_dir] [--ensemble 8]
 """
 
 import argparse
@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--atoms", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ensemble", type=int, default=0, metavar="N",
+                    help="run an N-seed ensemble (seeds seed..seed+N-1) and "
+                    "report the ensemble-mean quality")
     ap.add_argument("--log", default=None, help="jsonl metrics output")
     ap.add_argument("--panels", default=None, help="dir for per-iter PNG panels")
     ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
@@ -51,6 +54,29 @@ def main():
     band_mse = ((c - n) ** 2).mean(axis=(0, 1))
     inp_mpsnr = float(np.mean(10 * np.log10(255.0 / np.sqrt(band_mse))))
     print(f"{sample.name}: input MPSNR {inp_mpsnr:.3f}")
+
+    if args.ensemble:
+        from lrs_pnp_dip_tpu.solvers import SeedEnsembleSolver
+
+        seeds = list(range(args.seed, args.seed + args.ensemble))
+        ens = SeedEnsembleSolver(sample, D, cfg, seeds)
+        t0 = time.time()
+        state, hist = ens.run(args.iters)
+        em = np.asarray(hist["ens_mpsnr"])
+        best_i = int(np.nanargmax(em))
+        spread = ens.spread(hist)
+        print(f"done in {time.time()-t0:.1f}s: ensemble-mean best MPSNR "
+              f"{em[best_i]:.3f} (iter {best_i}, ssim "
+              f"{float(np.asarray(hist['ens_ssim'])[best_i]):.4f}); per-seed "
+              f"best mean {spread['mean']:.3f} +- {spread['std']:.3f} "
+              f"(max {spread['max']:.3f})")
+        if args.log:
+            with open(args.log, "a") as f:
+                for i in range(len(em)):
+                    f.write(json.dumps({
+                        "iter": i, "ens_mpsnr": float(em[i]),
+                        "mpsnr": np.asarray(hist["mpsnr"])[i].tolist()}) + "\n")
+        return
 
     solver = Solver(sample, D, cfg)
     ckpt = None
