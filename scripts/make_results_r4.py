@@ -109,6 +109,29 @@ def main():
                   f"{a['min']:.3f} | {a['max']:.3f} | {ref_c} |")
         print()
 
+    # ------------------------------------------------ ensemble estimator
+    ens = load(os.path.join(R4, "ensemble.json"), {})
+    if ens:
+        print("## Seed-ensemble estimator (ensemble-mean cube, 8 seeds)\n")
+        print("| Variant / problem | ens-mean best MPSNR / SSIM (iter) | "
+              "per-seed best mean / max | Ref figure (same variant where "
+              "committed) |")
+        print("|---|---|---|---|")
+        ref_by = {("dip_1lip", img): m for v, _, img, m, _ in REF_FIGURES
+                  if v == "dip_1lip"}
+        ref_by.update({("dip", img): m for v, _, img, m, _ in REF_FIGURES
+                       if v == "dip"})
+        for key, r in sorted(ens.items()):
+            if not isinstance(r, dict):
+                continue
+            base_variant = "dip_1lip" if "1lip" in r["variant"] else "dip"
+            ref = ref_by.get((base_variant, r["img"]))
+            print(f"| {r['variant']} {r['img']} | {r['ens_best_mpsnr']:.3f} / "
+                  f"{r['ens_ssim_at_best']:.4f} (it {r['ens_best_iter']}) | "
+                  f"{r['per_seed_best_mean']:.3f} / {r['per_seed_best_max']:.3f} | "
+                  f"{f'{ref:.3f}' if ref else '—'} |")
+        print()
+
     # ------------------------------------------------ classic-NLM check
     if classic:
         print("## Sparse-stage ceiling under the classic-NLM spec\n")
