@@ -353,6 +353,24 @@ def bench_dip(sample, reps, quick):
     scan_times = _timed_reps(scan_fit, key, x, x, mask, warmup=1, reps=reps)
     scan_step_ms = min(scan_times) / n_steps * 1e3
 
+    # mixed-precision production fit: the same while_loop with
+    # ``compute_dtype='bfloat16'`` (params + activations in bf16, f32 loss
+    # and Adam state).  End-to-end quality-neutral (RESULTS.md bf16 table),
+    # so its speedup over the f32 fit is pure headroom — measured here as
+    # its own regression-sensitive number.
+    bf16_cfg = DipConfig(
+        num_iter=n_steps,
+        learning_rate=0.1,
+        buffer_size=30,
+        patience=10 * n_steps,
+        compute_dtype="bfloat16",
+    )
+    bf16_fit_fn = make_dip_fit(model, bf16_cfg)
+    bf16_fit = jax.jit(lambda k, xi, t, m: bf16_fit_fn(k, xi, t, m).loss)
+    _force(bf16_fit(key, x, x, mask))
+    bf16_times = _timed_reps(bf16_fit, key, x, x, mask, warmup=1, reps=reps)
+    bf16_step_ms = min(bf16_times) / n_steps * 1e3
+
     return {
         "net": "skip-128",
         "n_steps": n_steps,
@@ -366,6 +384,8 @@ def bench_dip(sample, reps, quick):
         "while_loop_overhead_pct": round(
             (per_step_ms - scan_step_ms) / scan_step_ms * 100.0, 2
         ),
+        "adam_step_bf16_ms": round(bf16_step_ms, 4),
+        "bf16_speedup": round(per_step_ms / max(bf16_step_ms, 1e-9), 3),
     }
 
 
@@ -658,7 +678,9 @@ def main():
         _log(
             f"[bench] DIP Adam step: {full['dip']['adam_step_ms']:.3f} ms while_loop "
             f"vs {full['dip']['adam_step_scan_ms']:.3f} ms bare scan "
-            f"(while_loop overhead {full['dip']['while_loop_overhead_pct']:+.1f}%)"
+            f"(while_loop overhead {full['dip']['while_loop_overhead_pct']:+.1f}%); "
+            f"bf16 fit {full['dip']['adam_step_bf16_ms']:.3f} ms "
+            f"({full['dip']['bf16_speedup']:.2f}x)"
         )
         _log("[bench] full LRS-PnP-DIP outer iteration + run_scanned ...")
         full["outer"] = bench_outer(sample, D, reps=max(2, reps // 2), quick=args.quick)
@@ -702,6 +724,7 @@ def main():
         ),
         "dip_adam_step_ms": full.get("dip", {}).get("adam_step_ms"),
         "dip_adam_step_scan_ms": full.get("dip", {}).get("adam_step_scan_ms"),
+        "dip_adam_step_bf16_ms": full.get("dip", {}).get("adam_step_bf16_ms"),
         "sharded_prox_device_ms": full.get("sharded_prox", {}).get("device_ms"),
         "large_cube": {
             "s_per_outer_iter_144": full.get("large_cube", {})

@@ -1,6 +1,13 @@
 """Preset values must match the reference entry-point constants."""
 
-from lrs_pnp_dip_tpu.utils.config import dip_1lip_preset, dip_preset, lrs_pnp_preset
+from lrs_pnp_dip_tpu.utils.config import (
+    PRESETS,
+    dip_1lip_preset,
+    dip_fast_preset,
+    dip_preset,
+    dip_tuned_preset,
+    lrs_pnp_preset,
+)
 
 
 def test_lrs_pnp_preset_matches_main_lrs_pnp():
@@ -46,3 +53,17 @@ def test_dip_1lip_preset():
 def test_preset_overrides():
     c = dip_preset(outer_iters=10, seed=7)
     assert c.outer_iters == 10 and c.seed == 7
+
+
+def test_dip_fast_preset_is_tuned_plus_bf16():
+    """`dip_fast` = `dip_tuned` with every MXU path in bfloat16 and
+    nothing else changed (the serve-with-throughput preset)."""
+    fast, tuned = dip_fast_preset(), dip_tuned_preset()
+    assert fast.sparse.matmul_dtype == "bfloat16"
+    assert fast.dip.compute_dtype == "bfloat16"
+    import dataclasses
+
+    f32_sparse = dataclasses.replace(fast.sparse, matmul_dtype="float32")
+    f32_dip = dataclasses.replace(fast.dip, compute_dtype="float32")
+    assert dataclasses.replace(fast, sparse=f32_sparse, dip=f32_dip) == tuned
+    assert PRESETS["dip_fast"]().sparse.matmul_dtype == "bfloat16"

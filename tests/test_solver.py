@@ -59,6 +59,41 @@ def test_dip_solver_smoke_synthetic():
     assert hist["dip_iters"][-1] > 0
 
 
+def test_dip_fast_bf16_paths_smoke():
+    """The `dip_fast` bf16 combination (bf16 sparse matmuls + bf16 DIP
+    compute) composes end-to-end: finite state, comparable quality to the
+    f32 run on the same tiny problem."""
+    import dataclasses
+
+    s = synthetic_sample(height=16, width=16, bands=32, missing=0.08, seed=3)
+    D = random_dictionary(64, 48, seed=0)
+    base = SolverConfig(
+        variant="dip",
+        mu1=0.1,
+        mu2=0.1,
+        outer_iters=2,
+        block_size=8,
+        stride=8,
+        sparse=SparseProxConfig(n_iter=10),
+        dip=DipConfig(num_iter=40, learning_rate=0.05, buffer_size=10, patience=30),
+        net_width=32,
+    )
+    fast = dataclasses.replace(
+        base,
+        sparse=dataclasses.replace(base.sparse, matmul_dtype="bfloat16"),
+        dip=dataclasses.replace(base.dip, compute_dtype="bfloat16"),
+    )
+    from lrs_pnp_dip_tpu.models import Skip
+
+    tiny = Skip(num_output_channels=32, channels_down=(16, 16), channels_up=(16, 16),
+                channels_skip=(8, 8), pad="reflection")
+    st_f32, h_f32 = Solver(s, D, base, net=tiny).run()
+    st_b16, h_b16 = Solver(s, D, fast, net=tiny).run()
+    assert np.isfinite(np.asarray(st_b16.X)).all()
+    # bf16 rounding moves the trajectory, but not the recovery regime
+    assert abs(h_b16["mpsnr"][-1] - h_f32["mpsnr"][-1]) < 3.0
+
+
 def test_dip_1lip_solver_smoke_synthetic():
     # The 1-Lip UNet's down/up ladder only closes for 36-like spatial sizes
     # (36->18->9->5->3->...->36), mirroring the reference architecture.
