@@ -353,6 +353,23 @@ def bench_dip(sample, reps, quick):
     scan_times = _timed_reps(scan_fit, key, x, x, mask, warmup=1, reps=reps)
     scan_step_ms = min(scan_times) / n_steps * 1e3
 
+    # incremental early stop: the same f32 while_loop with the O(D)
+    # sufficient-statistics variance (es_mode='incremental') instead of
+    # the full 2-pass window reduction — isolates how much of the
+    # while_loop-vs-scan overhead is ES HBM traffic.
+    inc_cfg = DipConfig(
+        num_iter=n_steps,
+        learning_rate=0.1,
+        buffer_size=30,
+        patience=10 * n_steps,
+        es_mode="incremental",
+    )
+    inc_fit_fn = make_dip_fit(model, inc_cfg)
+    inc_fit = jax.jit(lambda k, xi, t, m: inc_fit_fn(k, xi, t, m).loss)
+    _force(inc_fit(key, x, x, mask))
+    inc_times = _timed_reps(inc_fit, key, x, x, mask, warmup=1, reps=reps)
+    inc_step_ms = min(inc_times) / n_steps * 1e3
+
     # mixed-precision production fit: the same while_loop with
     # ``compute_dtype='bfloat16'`` (params + activations in bf16, f32 loss
     # and Adam state).  End-to-end quality-neutral (RESULTS.md bf16 table),
@@ -386,6 +403,10 @@ def bench_dip(sample, reps, quick):
         ),
         "adam_step_bf16_ms": round(bf16_step_ms, 4),
         "bf16_speedup": round(per_step_ms / max(bf16_step_ms, 1e-9), 3),
+        "adam_step_inc_es_ms": round(inc_step_ms, 4),
+        "inc_es_overhead_pct": round(
+            (inc_step_ms - scan_step_ms) / scan_step_ms * 100.0, 2
+        ),
     }
 
 
@@ -678,7 +699,9 @@ def main():
         _log(
             f"[bench] DIP Adam step: {full['dip']['adam_step_ms']:.3f} ms while_loop "
             f"vs {full['dip']['adam_step_scan_ms']:.3f} ms bare scan "
-            f"(while_loop overhead {full['dip']['while_loop_overhead_pct']:+.1f}%); "
+            f"(while_loop overhead {full['dip']['while_loop_overhead_pct']:+.1f}%, "
+            f"incremental-ES {full['dip']['adam_step_inc_es_ms']:.3f} ms = "
+            f"{full['dip']['inc_es_overhead_pct']:+.1f}%); "
             f"bf16 fit {full['dip']['adam_step_bf16_ms']:.3f} ms "
             f"({full['dip']['bf16_speedup']:.2f}x)"
         )

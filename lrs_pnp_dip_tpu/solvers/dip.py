@@ -69,6 +69,11 @@ def make_dip_fit(
             f"DipConfig.return_mode must be 'last' or 'window_mean', "
             f"got {cfg.return_mode!r}"
         )
+    if cfg.es_mode not in ("exact", "incremental"):
+        raise ValueError(
+            f"DipConfig.es_mode must be 'exact' or 'incremental', "
+            f"got {cfg.es_mode!r}"
+        )
     opt = optax.adam(cfg.learning_rate)
     cdtype = jnp.dtype(cfg.compute_dtype)
 
@@ -122,7 +127,10 @@ def make_dip_fit(
             opt_state=opt_state,
             out=jnp.zeros(target.shape, jnp.float32),
             loss=jnp.asarray(jnp.inf, jnp.float32),
-            es=init_early_stop(cfg.buffer_size, out_dim),
+            es=init_early_stop(
+                cfg.buffer_size, out_dim,
+                incremental=cfg.es_mode == "incremental",
+            ),
             i=jnp.zeros((), jnp.int32),
         )
         final = jax.lax.while_loop(cond, body, init)

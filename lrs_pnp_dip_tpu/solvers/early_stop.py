@@ -10,12 +10,31 @@ seen; if it fails to improve ``patience`` (=60) consecutive checks, stop.
 Here the window is a ring buffer carried in the ``lax.while_loop`` state;
 the mean-of-mean-squared-deviations collapses to one fused reduction
 ``mean((window - window.mean(0))^2)``.
+
+Two variance evaluators:
+
+* ``exact`` (default) — recompute the fused reduction over the whole
+  (size, D) window every check.  Bit-faithful to the reference order of
+  operations, but at flagship scale the window is ~20 MB (30 x 36*36*128
+  f32), too big for VMEM, so every DIP iteration streams it from HBM
+  twice (mean pass + deviation pass) — measured as most of the
+  while_loop-vs-scan overhead in ``bench.py``.
+* ``incremental`` — carry per-pixel sufficient statistics
+  ``S1_j = sum_i w_ij`` and ``S2_j = sum_i w_ij^2`` updated O(D) per push
+  (add the new row, subtract the evicted one), and evaluate
+  ``var = mean_j(S2_j/n - (S1_j/n)^2)`` — the same quantity by the
+  Koenig-Huygens identity.  To bound f32 running-sum drift the statistics
+  are recomputed exactly from the ring buffer every ``size`` pushes.
+  ~8x less HBM traffic per check; the stop DECISION can differ from
+  'exact' only when the variance gap between iterations is at f32
+  rounding scale (pinned in ``tests/test_dip.py``).
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -26,9 +45,13 @@ class EarlyStopState(NamedTuple):
     best_iter: jnp.ndarray  # iteration of the best variance (i32)
     wait: jnp.ndarray  # consecutive non-improving checks (i32)
     stop: jnp.ndarray  # bool
+    sum: jnp.ndarray  # (D,) running per-pixel window sum (incremental mode;
+    #                    shape (0,) when unused)
+    sumsq: jnp.ndarray  # (D,) running per-pixel window sum of squares
 
 
-def init_early_stop(size: int, dim: int) -> EarlyStopState:
+def init_early_stop(size: int, dim: int, incremental: bool = False) -> EarlyStopState:
+    stat_dim = dim if incremental else 0
     return EarlyStopState(
         window=jnp.zeros((size, dim), jnp.float32),
         count=jnp.zeros((), jnp.int32),
@@ -36,6 +59,8 @@ def init_early_stop(size: int, dim: int) -> EarlyStopState:
         best_iter=jnp.zeros((), jnp.int32),
         wait=jnp.zeros((), jnp.int32),
         stop=jnp.zeros((), bool),
+        sum=jnp.zeros((stat_dim,), jnp.float32),
+        sumsq=jnp.zeros((stat_dim,), jnp.float32),
     )
 
 
@@ -43,17 +68,35 @@ def update_early_stop(
     es: EarlyStopState, out_flat: jnp.ndarray, cur_iter, patience: int
 ) -> EarlyStopState:
     size = es.window.shape[0]
+    incremental = es.sum.shape[0] > 0
     idx = es.count % size
+    evicted = es.window[idx] if incremental else None
     window = es.window.at[idx].set(out_flat)
     count = es.count + 1
     filled = count >= size
 
-    ave = jnp.mean(window, axis=0)
-    var = jnp.mean((window - ave[None, :]) ** 2)
+    if incremental:
+        s1 = es.sum + (out_flat - evicted)
+        s2 = es.sumsq + (out_flat * out_flat - evicted * evicted)
+        # drift control: exact resync from the ring buffer every `size`
+        # pushes (amortizes to one extra window pass per window period)
+        s1, s2 = jax.lax.cond(
+            count % size == 0,
+            lambda w, *_: (jnp.sum(w, axis=0), jnp.sum(w * w, axis=0)),
+            lambda w, a, b: (a, b),
+            window, s1, s2,
+        )
+        n = jnp.float32(size)
+        ave = s1 / n
+        var = jnp.mean(jnp.maximum(s2 / n - ave * ave, 0.0))
+    else:
+        s1, s2 = es.sum, es.sumsq
+        ave = jnp.mean(window, axis=0)
+        var = jnp.mean((window - ave[None, :]) ** 2)
 
     improved = var < es.best_score
     best_score = jnp.where(filled & improved, var, es.best_score)
     best_iter = jnp.where(filled & improved, cur_iter, es.best_iter)
     wait = jnp.where(filled, jnp.where(improved, 0, es.wait + 1), es.wait)
     stop = es.stop | (filled & (wait >= patience))
-    return EarlyStopState(window, count, best_score, best_iter, wait, stop)
+    return EarlyStopState(window, count, best_score, best_iter, wait, stop, s1, s2)

@@ -31,6 +31,12 @@ class DipConfig:
     buffer_size: int = 30
     patience: int = 60
     compute_dtype: str = "float32"
+    es_mode: str = "exact"
+    # 'exact': recompute the windowed variance over the full (30, D) ring
+    #   buffer every check — the reference's order of operations;
+    # 'incremental': O(D) sufficient-statistics update with periodic exact
+    #   resync (see solvers/early_stop.py) — same quantity, ~8x less HBM
+    #   traffic per DIP iteration at flagship scale.
     input_mode: str = "iterate"
     # 'iterate': DIP input = X + lambda_2/mu_2 (the reference's
     #   image-conditioned DIP, ``main_LRS_PnP_DIP_pro.py:412``);
@@ -171,7 +177,9 @@ def dip_fast_preset(**overrides) -> SolverConfig:
     cfg = dataclasses.replace(
         base,
         sparse=dataclasses.replace(base.sparse, matmul_dtype="bfloat16"),
-        dip=dataclasses.replace(base.dip, compute_dtype="bfloat16"),
+        dip=dataclasses.replace(
+            base.dip, compute_dtype="bfloat16", es_mode="incremental"
+        ),
     )
     return dataclasses.replace(cfg, **overrides)
 

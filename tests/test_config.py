@@ -63,7 +63,10 @@ def test_dip_fast_preset_is_tuned_plus_bf16():
     assert fast.dip.compute_dtype == "bfloat16"
     import dataclasses
 
+    assert fast.dip.es_mode == "incremental"
     f32_sparse = dataclasses.replace(fast.sparse, matmul_dtype="float32")
-    f32_dip = dataclasses.replace(fast.dip, compute_dtype="float32")
+    f32_dip = dataclasses.replace(
+        fast.dip, compute_dtype="float32", es_mode="exact"
+    )
     assert dataclasses.replace(fast, sparse=f32_sparse, dip=f32_dip) == tuned
     assert PRESETS["dip_fast"]().sparse.matmul_dtype == "bfloat16"

@@ -43,6 +43,55 @@ def test_early_stop_waits_for_window_fill():
     assert np.isinf(float(es.best_score))
 
 
+def test_early_stop_incremental_matches_exact():
+    """The O(D) sufficient-statistics evaluator must track the exact
+    windowed variance through >2 ring wraps (including the periodic
+    resync), on data whose variance actually moves."""
+    rng = np.random.default_rng(0)
+    size, dim = 6, 32
+    es_e = init_early_stop(size, dim)
+    es_i = init_early_stop(size, dim, incremental=True)
+    base = rng.random(dim).astype(np.float32)
+    for i in range(3 * size + 2):
+        # shrinking perturbations: variance decreases, then flattens
+        row = jnp.asarray(base + rng.normal(0, 0.5 / (1 + i), dim).astype(np.float32))
+        es_e = update_early_stop(es_e, row, i, patience=4)
+        es_i = update_early_stop(es_i, row, i, patience=4)
+        assert bool(es_e.stop) == bool(es_i.stop)
+    np.testing.assert_allclose(
+        float(es_i.best_score), float(es_e.best_score), rtol=1e-4, atol=1e-7
+    )
+    assert int(es_i.best_iter) == int(es_e.best_iter)
+    assert int(es_i.wait) == int(es_e.wait)
+    # the running stats equal the window column sums after resyncs+updates
+    np.testing.assert_allclose(
+        np.asarray(es_i.sum), np.asarray(es_i.window).sum(0), rtol=1e-4
+    )
+
+
+def test_early_stop_incremental_fires_in_fit():
+    """es_mode='incremental' wired through make_dip_fit: the early stop
+    still fires on a flat-variance run, and the fit still learns."""
+    rng = np.random.default_rng(5)
+    target = jnp.asarray(rng.random((1, 16, 16, 4)).astype(np.float32))
+    mask = jnp.ones((1, 16, 16, 1), jnp.float32)
+    inp = jnp.asarray(rng.random((1, 16, 16, 4)).astype(np.float32))
+    cfg = DipConfig(num_iter=300, learning_rate=0.05, buffer_size=10,
+                    patience=15, es_mode="incremental")
+    res = jax.jit(make_dip_fit(_tiny_net(4), cfg))(
+        jax.random.PRNGKey(0), inp, target, mask
+    )
+    assert bool(res.stopped) and int(res.n_iters) < 300
+    assert float(res.loss) < 0.05
+
+
+def test_dip_es_mode_validated():
+    import pytest
+
+    with pytest.raises(ValueError, match="es_mode"):
+        make_dip_fit(_tiny_net(4), DipConfig(es_mode="fast"))
+
+
 def test_dip_fit_learns_and_stops():
     rng = np.random.default_rng(0)
     target = jnp.asarray(rng.random((1, 16, 16, 4)).astype(np.float32))
