@@ -580,6 +580,25 @@ def bench_outer(sample, D, reps, quick):
     final, hist = solver.run_scanned(n_scan, state=state)
     scan_s = time.perf_counter() - t0
 
+    # fast-path variant: the SAME faithful preset (same ES patience, so
+    # DIP iteration counts stay comparable) with the two MXU/HBM fast
+    # paths on — bf16 DIP compute + incremental early stop.  Sustained
+    # s/outer-iter vs the faithful number = end-to-end fast-path speedup.
+    import dataclasses
+
+    fast_cfg = dataclasses.replace(
+        cfg,
+        dip=dataclasses.replace(
+            cfg.dip, compute_dtype="bfloat16", es_mode="incremental"
+        ),
+    )
+    fast_solver = Solver(sample, D, fast_cfg)
+    fast_state = fast_solver.init_state()
+    fast_solver.run_scanned(n_scan, state=fast_state)  # compile + warm
+    t0 = time.perf_counter()
+    _, fast_hist = fast_solver.run_scanned(n_scan, state=fast_state)
+    fast_scan_s = time.perf_counter() - t0
+
     return {
         "variant": "dip (faithful preset)",
         "compile_s": round(compile_s, 2),
@@ -591,6 +610,14 @@ def bench_outer(sample, D, reps, quick):
         "outer_iters_per_sec_sustained": round(n_scan / scan_s, 3),
         "sustained_s_per_outer_iter": round(scan_s / n_scan, 3),
         "final_mpsnr": float(np.asarray(hist["mpsnr"])[-1]),
+        "fastpath": {
+            "dip": "bf16 compute + incremental ES (same patience)",
+            "scan_s": round(fast_scan_s, 3),
+            "outer_iters_per_sec_sustained": round(n_scan / fast_scan_s, 3),
+            "sustained_s_per_outer_iter": round(fast_scan_s / n_scan, 3),
+            "speedup_vs_faithful": round(scan_s / max(fast_scan_s, 1e-9), 3),
+            "final_mpsnr": float(np.asarray(fast_hist["mpsnr"])[-1]),
+        },
     }
 
 
@@ -711,7 +738,9 @@ def main():
             f"[bench] outer iter: {full['outer']['outer_iter']['min_ms']:.0f} ms "
             f"(dip_iters={full['outer']['dip_iters_first_step']}); sustained "
             f"{full['outer']['sustained_s_per_outer_iter']:.3f} s/outer-iter "
-            f"over a {full['outer']['scan_iters']}-iter on-device scan"
+            f"over a {full['outer']['scan_iters']}-iter on-device scan; "
+            f"fast path {full['outer']['fastpath']['sustained_s_per_outer_iter']:.3f} "
+            f"s/outer-iter ({full['outer']['fastpath']['speedup_vs_faithful']:.2f}x)"
         )
         _log("[bench] large-cube throughput (144^2 whole-scene + 288^2 tiled) ...")
         try:
@@ -745,6 +774,9 @@ def main():
         "outer_iters_per_sec": full.get("outer", {}).get(
             "outer_iters_per_sec_sustained"
         ),
+        "outer_iters_per_sec_fastpath": full.get("outer", {})
+        .get("fastpath", {})
+        .get("outer_iters_per_sec_sustained"),
         "dip_adam_step_ms": full.get("dip", {}).get("adam_step_ms"),
         "dip_adam_step_scan_ms": full.get("dip", {}).get("adam_step_scan_ms"),
         "dip_adam_step_bf16_ms": full.get("dip", {}).get("adam_step_bf16_ms"),
