@@ -59,3 +59,20 @@ def test_solve_tiled_overlap_averaging(rng):
     rec = solve_tiled(noisy, mask, D, cfg, tile_shape=(16, 16), tile_batch=2, overlap=8)
     assert rec.shape == noisy.shape
     assert np.isfinite(rec).all()
+
+
+def test_solve_tiled_scan_matches_stepped(rng):
+    """The on-device lax.scan inner loop is the same step sequence as the
+    host-stepped loop — recovered scenes must match to float tolerance."""
+    clean, noisy, mask = _scene(rng)
+    D = random_dictionary(16 * 16, 48, seed=3)
+    cfg = SolverConfig(
+        variant="lrs_pnp", outer_iters=2, block_size=16, stride=16,
+        sparse=SparseProxConfig(n_iter=8, alpha_mode="specnorm", h_scale=0.1),
+        dip=None, mu1=0.15, mu2=0.9,
+    )
+    rec_scan = solve_tiled(noisy, mask, D, cfg, tile_shape=(16, 16),
+                           tile_batch=3, scan=True)
+    rec_step = solve_tiled(noisy, mask, D, cfg, tile_shape=(16, 16),
+                           tile_batch=3, scan=False)
+    np.testing.assert_allclose(rec_scan, rec_step, rtol=2e-5, atol=2e-5)
