@@ -32,6 +32,6 @@ Package layout:
 
 __version__ = "0.1.0"
 
-from .api import inpaint  # noqa: E402  (one-call user API)
+from .api import inpaint, inpaint_scene  # noqa: E402  (one-call user API)
 
-__all__ = ["inpaint"]
+__all__ = ["inpaint", "inpaint_scene"]

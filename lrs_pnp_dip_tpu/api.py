@@ -89,3 +89,50 @@ def inpaint(
     solver = Solver(sample, dictionary, cfg)
     state, hist = solver.run(n_iters=n_iters)
     return solver.result_cube(state), hist
+
+
+def inpaint_scene(
+    noisy: np.ndarray,
+    mask: np.ndarray,
+    variant: str = "lrs_pnp",
+    dictionary: Optional[np.ndarray] = None,
+    config: Optional[SolverConfig] = None,
+    tile_shape: Tuple[int, int] = (36, 36),
+    tile_batch: int = 8,
+    overlap: int = 0,
+    n_iters: Optional[int] = None,
+    **preset_overrides,
+) -> np.ndarray:
+    """Recover an arbitrarily large (H, W, B) scene by tile streaming.
+
+    The whole-scene counterpart of :func:`inpaint` — the reference can
+    only ever process one hard-coded 36x36 crop per script run; this
+    splits any scene into ``tile_shape`` tiles, solves ``tile_batch`` of
+    them per compiled on-device scan (:func:`..solvers.tiled.solve_tiled`)
+    and stitches with overlap averaging.  Dictionary handling matches
+    :func:`inpaint` (shipped artifact when the patch geometry matches,
+    otherwise learned from the observed data).  Returns the recovered
+    (H, W, B) cube.
+    """
+    from .solvers.tiled import solve_tiled
+
+    noisy = np.asarray(noisy, np.float32)
+    mask = np.asarray(mask, np.float32)
+    cfg = config or PRESETS[variant](**preset_overrides)
+    if dictionary is None:
+        # learn from (a bounded central crop of) the scene itself; the
+        # dictionary geometry is cfg.block_size, independent of tile size
+        h, w = noisy.shape[:2]
+        ch, cw = min(h, 128), min(w, 128)
+        h0, w0 = (h - ch) // 2, (w - cw) // 2
+        probe = HsiSample(
+            noisy=noisy[h0 : h0 + ch, w0 : w0 + cw],
+            mask=mask[h0 : h0 + ch, w0 : w0 + cw],
+            clean=None,
+        )
+        dictionary = _auto_dictionary(probe, cfg)
+    return solve_tiled(
+        noisy, mask, dictionary, cfg,
+        tile_shape=tile_shape, tile_batch=tile_batch,
+        overlap=overlap, n_iters=n_iters,
+    )

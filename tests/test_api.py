@@ -48,3 +48,21 @@ def test_config_dip_net_selection():
     from lrs_pnp_dip_tpu.models import DeepDecoder
 
     assert isinstance(net, DeepDecoder)
+
+
+def test_inpaint_scene_whole_scene_auto_dictionary():
+    """inpaint_scene: arbitrary scene size, auto-learned dictionary,
+    tile streaming — recovery must improve over the input."""
+    s = synthetic_sample(height=32, width=24, bands=16, missing=0.06, seed=23)
+    cfg = SolverConfig(
+        variant="lrs_pnp", outer_iters=2, block_size=8, stride=8,
+        sparse=SparseProxConfig(n_iter=8, alpha_mode="specnorm", h_scale=0.1),
+        dip=None, mu1=0.15, mu2=0.9,
+    )
+    cube = lrs.inpaint_scene(
+        s.noisy, s.mask, config=cfg, tile_shape=(16, 8), tile_batch=2
+    )
+    assert cube.shape == s.noisy.shape
+    inp = float(mpsnr(jnp.asarray(s.clean), jnp.asarray(s.noisy)))
+    out = float(mpsnr(jnp.asarray(s.clean), jnp.asarray(cube)))
+    assert out > inp
