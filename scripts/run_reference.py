@@ -26,7 +26,13 @@ faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps stacks
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variant", choices=["lrs_pnp", "dip", "dip_1lip"], default="dip")
+    ap.add_argument(
+        "--variant",
+        choices=["lrs_pnp", "matlab", "dip", "dip_1lip",
+                 "dip_tuned", "dip_1lip_tuned", "dip_fast"],
+        default="dip",
+        help="any utils.config.PRESETS key (faithful, tuned, or fast)",
+    )
     ap.add_argument("--image", default="img1")
     ap.add_argument("--mask", default="mask1")
     ap.add_argument("--iters", type=int, default=None)

@@ -326,10 +326,71 @@ def phase_ensemble(n_seeds: int = 8):
             f"({wall/n_seeds:.1f}s/seed amortized)")
 
 
+def phase_fastpath():
+    """Validate the `dip_fast` production preset directly on TPU: full
+    250-iteration runs of `dip_tuned` (f32 reference) vs `dip_fast`
+    (bf16 MXU paths + incremental early stop) on img1 — best quality AND
+    warm wall time for each, so the preset's quality-neutral-speedup
+    claim is backed by one same-session A/B.
+    -> artifacts/runs_r4/fastpath.json"""
+    from lrs_pnp_dip_tpu.data.dictionary import load_trained_dictionary
+    from lrs_pnp_dip_tpu.data.io import load_reference_pair
+    from lrs_pnp_dip_tpu.solvers import Solver
+    from lrs_pnp_dip_tpu.utils.config import PRESETS
+
+    out_path = os.path.join(RUNS, "fastpath.json")
+    rec = _load_json(out_path)
+    D = load_trained_dictionary(512)
+    sample = load_reference_pair("img1")
+
+    for variant in ("dip_tuned", "dip_fast"):
+        if variant in rec:
+            log(f"{variant}: cached (best {rec[variant]['best_mpsnr']:.3f})")
+            continue
+        cfg = PRESETS[variant]()
+        try:
+            solver = Solver(sample, D, cfg)
+            t0 = time.time()
+            hist = _scanned_run(sample, D, cfg, 250, seed=0, solver=solver)
+            cold = time.time() - t0
+            t0 = time.time()
+            hist = _scanned_run(sample, D, cfg, 250, seed=0, solver=solver)
+            warm = time.time() - t0
+        except Exception as e:
+            log(f"{variant} FAILED: {type(e).__name__}: {e}")
+            continue
+        m = np.asarray(hist["mpsnr"])
+        s = np.asarray(hist["ssim"])
+        best_i = int(np.nanargmax(m))
+        rec[variant] = {
+            "img": "img1",
+            "best_mpsnr": float(m[best_i]),
+            "best_iter": best_i,
+            "ssim_at_best": float(s[best_i]),
+            "final_mpsnr": float(m[-1]),
+            "mean_dip_iters": float(np.mean(np.asarray(hist["dip_iters"]))),
+            "wall_s_cold": round(cold, 1),
+            "wall_s_warm": round(warm, 1),
+        }
+        _save_json(out_path, rec)
+        log(f"{variant}: best {m[best_i]:.3f} dB (iter {best_i}), "
+            f"warm wall {warm:.1f}s (cold {cold:.1f}s)")
+    if "dip_tuned" in rec and "dip_fast" in rec:
+        sp = rec["dip_tuned"]["wall_s_warm"] / max(
+            rec["dip_fast"]["wall_s_warm"], 1e-9
+        )
+        dq = rec["dip_fast"]["best_mpsnr"] - rec["dip_tuned"]["best_mpsnr"]
+        rec["_speedup_warm"] = round(sp, 3)
+        rec["_quality_delta_db"] = round(dq, 3)
+        _save_json(out_path, rec)
+        log(f"fastpath: {sp:.2f}x warm speedup, quality delta {dq:+.3f} dB")
+
+
 PHASES = {
     "seeds": phase_seeds,
     "classic": phase_classic,
     "ensemble": phase_ensemble,
+    "fastpath": phase_fastpath,
 }
 
 
