@@ -132,6 +132,21 @@ def main():
                   f"{f'{ref:.3f}' if ref else '—'} |")
         print()
 
+    # ------------------------------------------------ fastpath A/B
+    fastpath = load(os.path.join(R4, "fastpath.json"), {})
+    if "dip_tuned" in fastpath and "dip_fast" in fastpath:
+        print("## `dip_fast` production preset — same-session A/B (img1, "
+              "250 iters)\n")
+        print("| Preset | best MPSNR / SSIM (iter) | warm wall (s) |")
+        print("|---|---|---|")
+        for v in ("dip_tuned", "dip_fast"):
+            r = fastpath[v]
+            print(f"| {v} | {r['best_mpsnr']:.3f} / {r['ssim_at_best']:.4f} "
+                  f"(it {r['best_iter']}) | {r['wall_s_warm']:.1f} |")
+        print(f"\nWarm-run speedup **{fastpath['_speedup_warm']:.2f}x** at "
+              f"quality delta {fastpath['_quality_delta_db']:+.3f} dB "
+              f"(bf16 MXU paths + incremental early stop).\n")
+
     # ------------------------------------------------ classic-NLM check
     if classic:
         print("## Sparse-stage ceiling under the classic-NLM spec\n")
