@@ -278,6 +278,11 @@ def phase_ensemble(n_seeds: int = 8):
     plan = [("dip_1lip_tuned", img)
             for img in ("img1", "img2", "img3", "img4", "img5")]
     plan += [("dip", "img1")]
+    if os.environ.get("R4_ENS_FAITHFUL"):
+        # faithful presets on the dense-mask problems: does ensemble
+        # averaging bridge the sparse-stage ceiling?  (Attribution check —
+        # expected: no, the ceiling binds the ensemble mean too.)
+        plan += [("dip_1lip", "img4"), ("dip", "img4"), ("dip_1lip", "img5")]
     only = os.environ.get("R4_ENS_ONLY")
     if only:
         keep = set(only.split(","))
