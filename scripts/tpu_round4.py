@@ -283,6 +283,11 @@ def phase_ensemble(n_seeds: int = 8):
         # averaging bridge the sparse-stage ceiling?  (Attribution check —
         # expected: no, the ceiling binds the ensemble mean too.)
         plan += [("dip_1lip", "img4"), ("dip", "img4"), ("dip_1lip", "img5")]
+        # ...and on the two PRo problems where the committed figure is
+        # within 0.5 dB of the faithful single run (img2: -0.28, img3:
+        # -0.48) — the one regime where draw-averaging could plausibly
+        # close the record.
+        plan += [("dip", "img2"), ("dip", "img3")]
     only = os.environ.get("R4_ENS_ONLY")
     if only:
         keep = set(only.split(","))
