@@ -101,6 +101,10 @@ def inpaint_scene(
     tile_batch: int = 8,
     overlap: int = 0,
     n_iters: Optional[int] = None,
+    net=None,
+    verbose: bool = False,
+    scan: Optional[bool] = None,
+    pad_final: bool = False,
     **preset_overrides,
 ) -> np.ndarray:
     """Recover an arbitrarily large (H, W, B) scene by tile streaming.
@@ -113,6 +117,14 @@ def inpaint_scene(
     :func:`inpaint` (shipped artifact when the patch geometry matches,
     otherwise learned from the observed data).  Returns the recovered
     (H, W, B) cube.
+
+    ``scan``: ``None`` (default) picks the on-device scan for the
+    deterministic ``lrs_pnp`` variant and the host-stepped loop for DIP
+    variants — a scan-of-N of a ``tile_batch``-wide vmapped DIP step at
+    production iteration counts is exactly the program shape measured to
+    crash the remote TPU compiler (CLAUDE.md, round 4).  Pass
+    ``scan=True``/``False`` to force either path; ``net``/``verbose``/
+    ``pad_final`` forward to :func:`~.solvers.tiled.solve_tiled`.
     """
     from .solvers.tiled import solve_tiled
 
@@ -131,8 +143,11 @@ def inpaint_scene(
             clean=None,
         )
         dictionary = _auto_dictionary(probe, cfg)
+    if scan is None:
+        scan = cfg.variant == "lrs_pnp"
     return solve_tiled(
         noisy, mask, dictionary, cfg,
         tile_shape=tile_shape, tile_batch=tile_batch,
         overlap=overlap, n_iters=n_iters,
+        net=net, verbose=verbose, scan=scan, pad_final=pad_final,
     )

@@ -278,11 +278,20 @@ class Solver:
             state, aux = self.step(state)
             for k in hist:
                 hist[k].append(float(getattr(aux, k)))
-            # failure detection: x_dist is log||dX||; NaN/Inf means the
-            # iterate went non-finite somewhere in the step
-            if np.isnan(hist["x_dist"][-1]) or hist["x_dist"][-1] == np.inf:
+            # failure detection: x_dist is log||dX||.  NaN/+inf means the
+            # iterate went non-finite somewhere in the step; -inf means
+            # ||dX|| is exactly zero — a bit-identical (stalled) iterate,
+            # which a stochastic step never produces in healthy operation
+            # (fresh DIP init per iteration) and the deterministic variant
+            # only produces at a degenerate fixed point (e.g. all-zero X).
+            if not np.isfinite(hist["x_dist"][-1]):
+                kind = (
+                    "exactly-stalled (||dX|| == 0)"
+                    if hist["x_dist"][-1] == -np.inf
+                    else "non-finite"
+                )
                 raise SolverDiverged(
-                    f"non-finite iterate at outer iteration {i} "
+                    f"{kind} iterate at outer iteration {i} "
                     f"(variant={self.config.variant}); last finite MPSNR "
                     f"{best[0]:.3f} — checkpoint and inspect duals/step sizes"
                 )

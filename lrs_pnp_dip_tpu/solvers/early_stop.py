@@ -20,14 +20,29 @@ Two variance evaluators:
   twice (mean pass + deviation pass) — measured as most of the
   while_loop-vs-scan overhead in ``bench.py``.
 * ``incremental`` — carry per-pixel sufficient statistics
-  ``S1_j = sum_i w_ij`` and ``S2_j = sum_i w_ij^2`` updated O(D) per push
-  (add the new row, subtract the evicted one), and evaluate
+  ``S1_j = sum_i (w_ij - c_j)`` and ``S2_j = sum_i (w_ij - c_j)^2``
+  about a per-pixel SHIFTED ORIGIN ``c_j``, updated O(D) per push (add
+  the new row, subtract the evicted one), and evaluate
   ``var = mean_j(S2_j/n - (S1_j/n)^2)`` — the same quantity by the
-  Koenig-Huygens identity.  To bound f32 running-sum drift the statistics
-  are recomputed exactly from the ring buffer every ``size`` pushes.
-  ~8x less HBM traffic per check; the stop DECISION can differ from
-  'exact' only when the variance gap between iterations is at f32
-  rounding scale (pinned in ``tests/test_dip.py``).
+  Koenig-Huygens identity (shift-invariant).  The origin matters:
+  accumulating about zero suffers f32 catastrophic cancellation when
+  ``var << mean^2`` (absolute error ~eps*mean^2 per pixel — exactly the
+  well-converged plateau where the stop decision is made).  ``c_j`` is
+  set to the current per-pixel window mean at every exact resync, so
+  between resyncs both statistics stay at the scale of the variance
+  itself.  To bound f32 running-sum drift the statistics (and the
+  origin) are recomputed exactly from the ring buffer every ``size``
+  pushes.  ~8x less HBM traffic per check; the stop DECISION can differ
+  from 'exact' only when the variance gap between iterations is at f32
+  rounding scale (pinned in ``tests/test_dip.py``, including a
+  var~1e-7 / mean~1 cancellation-regime case).
+
+  vmap caveat (SeedEnsembleSolver / tiled batches): the resync
+  ``lax.cond`` has a batched predicate under vmap, so XLA lowers it to
+  executing BOTH branches every check — the full (size, D) window
+  reduction then runs every iteration and the HBM saving largely
+  disappears in vmapped fits (correctness unaffected).  See
+  docs/DESIGN.md "Early-stop variance evaluators".
 """
 
 from __future__ import annotations
@@ -45,9 +60,11 @@ class EarlyStopState(NamedTuple):
     best_iter: jnp.ndarray  # iteration of the best variance (i32)
     wait: jnp.ndarray  # consecutive non-improving checks (i32)
     stop: jnp.ndarray  # bool
-    sum: jnp.ndarray  # (D,) running per-pixel window sum (incremental mode;
-    #                    shape (0,) when unused)
-    sumsq: jnp.ndarray  # (D,) running per-pixel window sum of squares
+    sum: jnp.ndarray  # (D,) running per-pixel sum of (w - origin)
+    #                    (incremental mode; shape (0,) when unused)
+    sumsq: jnp.ndarray  # (D,) running per-pixel sum of (w - origin)^2
+    origin: jnp.ndarray  # (D,) per-pixel shifted origin c (cancellation
+    #                       control; refreshed to the window mean at resync)
 
 
 def init_early_stop(size: int, dim: int, incremental: bool = False) -> EarlyStopState:
@@ -61,6 +78,7 @@ def init_early_stop(size: int, dim: int, incremental: bool = False) -> EarlyStop
         stop=jnp.zeros((), bool),
         sum=jnp.zeros((stat_dim,), jnp.float32),
         sumsq=jnp.zeros((stat_dim,), jnp.float32),
+        origin=jnp.zeros((stat_dim,), jnp.float32),
     )
 
 
@@ -76,21 +94,33 @@ def update_early_stop(
     filled = count >= size
 
     if incremental:
+        # O(D) update about the carried origin c: the S1 increment is
+        # origin-independent ((w_new - c) - (w_old - c)); S2 must use the
+        # SAME origin the running sums were accumulated under.
+        c = es.origin
         s1 = es.sum + (out_flat - evicted)
-        s2 = es.sumsq + (out_flat * out_flat - evicted * evicted)
-        # drift control: exact resync from the ring buffer every `size`
-        # pushes (amortizes to one extra window pass per window period)
-        s1, s2 = jax.lax.cond(
+        s2 = es.sumsq + ((out_flat - c) ** 2 - (evicted - c) ** 2)
+        # drift + cancellation control: exact resync from the ring buffer
+        # every `size` pushes, refreshing the origin to the current window
+        # mean so both statistics stay at variance scale (amortizes to one
+        # extra window pass per window period; under vmap the batched
+        # predicate makes XLA run both branches — see module docstring)
+        def resync(w, *_):
+            c_new = jnp.mean(w, axis=0)
+            d = w - c_new[None, :]
+            return jnp.sum(d, axis=0), jnp.sum(d * d, axis=0), c_new
+
+        s1, s2, c = jax.lax.cond(
             count % size == 0,
-            lambda w, *_: (jnp.sum(w, axis=0), jnp.sum(w * w, axis=0)),
-            lambda w, a, b: (a, b),
-            window, s1, s2,
+            resync,
+            lambda w, a, b, cc: (a, b, cc),
+            window, s1, s2, c,
         )
         n = jnp.float32(size)
         ave = s1 / n
         var = jnp.mean(jnp.maximum(s2 / n - ave * ave, 0.0))
     else:
-        s1, s2 = es.sum, es.sumsq
+        s1, s2, c = es.sum, es.sumsq, es.origin
         ave = jnp.mean(window, axis=0)
         var = jnp.mean((window - ave[None, :]) ** 2)
 
@@ -99,4 +129,6 @@ def update_early_stop(
     best_iter = jnp.where(filled & improved, cur_iter, es.best_iter)
     wait = jnp.where(filled, jnp.where(improved, 0, es.wait + 1), es.wait)
     stop = es.stop | (filled & (wait >= patience))
-    return EarlyStopState(window, count, best_score, best_iter, wait, stop, s1, s2)
+    return EarlyStopState(
+        window, count, best_score, best_iter, wait, stop, s1, s2, c
+    )

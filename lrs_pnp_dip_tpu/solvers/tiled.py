@@ -39,6 +39,7 @@ def solve_tiled(
     net=None,
     verbose: bool = False,
     scan: bool = True,
+    pad_final: bool = False,
 ) -> np.ndarray:
     """Recover the whole scene tile-by-tile; returns (H, W, B).
 
@@ -48,8 +49,20 @@ def solve_tiled(
     ``scan=True`` (default) runs all ``n`` outer iterations of a tile
     batch as ONE on-device ``lax.scan`` — one dispatch per batch instead
     of ``n`` (at ~5 ms/dispatch the host-stepped loop dominates wall time
-    for production iteration counts).  The compiled executable is reused
-    for every batch (static shapes; the final partial batch is padded).
+    for production iteration counts).  CAUTION for DIP variants at
+    ensemble scale: a scan-of-N of a wide vmapped DIP step is exactly the
+    program shape measured to crash the remote TPU compiler (CLAUDE.md,
+    round 4) — for large ``tile_batch`` x production ``n_iters`` DIP runs
+    pass ``scan=False`` (host-stepped escape hatch) or keep the per-batch
+    program small.
+
+    A final PARTIAL batch runs at its real size by default — device work
+    scales with the number of real tiles (a 4-tile scene with
+    ``tile_batch=8`` does 4 lanes of work, not 8).  ``pad_final=True``
+    instead pads it by duplicating samples so the compiled executable is
+    reused — trades wasted lanes for skipping one extra (remote) compile,
+    worthwhile when the per-batch program is expensive to compile and the
+    remainder is small.
     """
     h, w, b = noisy.shape
     th, tw = tile_shape
@@ -82,9 +95,11 @@ def solve_tiled(
             HsiSample(noisy=t, mask=mask[h0 : h0 + th, w0 : w0 + tw])
             for t, (h0, w0) in zip(tiles, origins)
         ]
-        # pad the final partial batch so the compiled shape stays constant
-        while len(samples) < tile_batch:
-            samples.append(samples[-1])
+        if pad_final:
+            # pad by duplication so the compiled shape stays constant
+            # (extras sliced away below; costs n_pad wasted device lanes)
+            while len(samples) < tile_batch:
+                samples.append(samples[-1])
         consts = stack_consts([make_consts(s, dictionary, config) for s in samples])
         state = stack_states(
             [init_state(s, config.seed + i) for i, s in enumerate(samples)]

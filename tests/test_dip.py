@@ -63,10 +63,40 @@ def test_early_stop_incremental_matches_exact():
     )
     assert int(es_i.best_iter) == int(es_e.best_iter)
     assert int(es_i.wait) == int(es_e.wait)
-    # the running stats equal the window column sums after resyncs+updates
+    # the running stats (about the shifted origin) equal the window column
+    # sums after resyncs+updates: sum(w - c) + size*c == sum(w)
     np.testing.assert_allclose(
-        np.asarray(es_i.sum), np.asarray(es_i.window).sum(0), rtol=1e-4
+        np.asarray(es_i.sum) + size * np.asarray(es_i.origin),
+        np.asarray(es_i.window).sum(0),
+        rtol=1e-4, atol=1e-5,
     )
+
+
+def test_early_stop_incremental_no_cancellation_at_tiny_variance():
+    """ADVICE r4: accumulating s2/n - ave^2 about origin 0 loses ~eps*mean^2
+    absolute accuracy — 100% relative error when var ~1e-7 at mean ~1, the
+    well-converged plateau where the stop decision is made.  The shifted-
+    origin statistics must track the exact evaluator there."""
+    rng = np.random.default_rng(7)
+    size, dim = 8, 64
+    es_e = init_early_stop(size, dim)
+    es_i = init_early_stop(size, dim, incremental=True)
+    base = (1.0 + 0.1 * rng.random(dim)).astype(np.float32)  # mean ~1
+    sigma = 3.2e-4  # per-pixel deviations -> window variance ~1e-7
+    exact_scores, inc_scores = [], []
+    for i in range(3 * size + 3):
+        row = jnp.asarray(
+            base + rng.normal(0, sigma, dim).astype(np.float32)
+        )
+        es_e = update_early_stop(es_e, row, i, patience=4)
+        es_i = update_early_stop(es_i, row, i, patience=4)
+        if i >= size - 1:
+            exact_scores.append(float(es_e.best_score))
+            inc_scores.append(float(es_i.best_score))
+        assert bool(es_e.stop) == bool(es_i.stop)
+    assert 1e-8 < exact_scores[-1] < 1e-6  # the targeted regime
+    np.testing.assert_allclose(inc_scores, exact_scores, rtol=0.02)
+    assert int(es_i.best_iter) == int(es_e.best_iter)
 
 
 def test_early_stop_incremental_fires_in_fit():

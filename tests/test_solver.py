@@ -146,3 +146,41 @@ def test_solver_state_roundtrip_determinism():
     c2, h2 = solve(s, D, cfg)
     np.testing.assert_array_equal(c1, c2)
     assert h1["mpsnr"] == h2["mpsnr"]
+
+
+def test_divergence_guard_catches_stalled_and_nonfinite_iterates():
+    """SolverDiverged must fire on BOTH non-finite x_dist (NaN/+inf) and
+    the -inf case — log||dX|| of a bit-identical (exactly stalled)
+    iterate (VERDICT r4 weak #7: `x_dist == np.inf` let -inf sail past)."""
+    from lrs_pnp_dip_tpu.solvers.admm import SolverDiverged, StepAux, _log_dist
+
+    s = synthetic_sample(height=12, width=12, bands=16, missing=0.1, seed=5)
+    D = random_dictionary(36, 24, seed=1)
+    cfg = SolverConfig(
+        variant="lrs_pnp", outer_iters=3, block_size=6, stride=6,
+        sparse=SparseProxConfig(n_iter=2), dip=None,
+    )
+    solver = Solver(s, D, cfg)
+
+    def make_fake_step(x_dist_fn):
+        def fake(state, consts):
+            zero = jnp.zeros((), jnp.float32)
+            aux = StepAux(
+                mpsnr=jnp.float32(30.0), ssim=jnp.float32(0.9),
+                x_dist=x_dist_fn(state), l1_dist=zero, l2_dist=zero,
+                dip_iters=jnp.zeros((), jnp.int32), dip_loss=zero,
+                U=state.X, phi_scatter=state.X,
+            )
+            return state, aux
+
+        return fake
+
+    # converged-identical iterate: log||X - X|| = log 0 = -inf
+    solver._step = make_fake_step(lambda st: _log_dist(st.X, st.X))
+    with pytest.raises(SolverDiverged, match="stalled"):
+        solver.run(2)
+
+    # non-finite iterate: NaN distance
+    solver._step = make_fake_step(lambda st: jnp.float32(jnp.nan))
+    with pytest.raises(SolverDiverged, match="non-finite"):
+        solver.run(2)
