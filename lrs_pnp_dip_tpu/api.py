@@ -82,7 +82,9 @@ def inpaint(
         dictionary = _auto_dictionary(sample, cfg)
     if seeds is not None:
         ens = SeedEnsembleSolver(sample, dictionary, cfg, seeds)
-        state, hist = ens.run(n_iters)
+        # chunked scan: remote-compiler-safe program size, ~25x fewer
+        # host round-trips than the per-iteration loop (VERDICT r4 #4)
+        state, hist = ens.run_chunked(n_iters)
         h, w, b = sample.shape
         cube = np.asarray(state.X).mean(axis=0).reshape(h, w, b)
         return cube, hist

@@ -157,6 +157,40 @@ class SeedEnsembleSolver:
             hist["ens_ssim"].append(np.asarray(es))
         return state, {k: np.stack(v) for k, v in hist.items()}
 
+    def _scan_all(self):
+        """The jitted ``(state, consts, length) -> (state, hist)`` scan of
+        the vmapped step with the ensemble-mean metrics computed INSIDE the
+        body (one executable per static ``length``, cached by jit)."""
+        if not hasattr(self, "_scan_all_fn"):
+            import functools
+
+            from ..ops.metrics import mpsnr as _mpsnr
+            from ..ops.ssim import ssim as _ssim
+
+            _step = self._step
+            h, w, b = self.shape
+
+            def body(st, _, consts):
+                new_st, aux = _step(st, consts)
+                mean_cube = jnp.mean(new_st.X, axis=0).reshape(h, w, b)
+                return new_st, {
+                    "mpsnr": aux.mpsnr,
+                    "ssim": aux.ssim,
+                    "dip_iters": aux.dip_iters,
+                    "ens_mpsnr": _mpsnr(consts.clean, mean_cube),
+                    "ens_ssim": _ssim(consts.clean, mean_cube),
+                }
+
+            @functools.partial(jax.jit, static_argnames=("length",))
+            def scan_all(st, consts, length):
+                return jax.lax.scan(
+                    functools.partial(body, consts=consts), st, None,
+                    length=length,
+                )
+
+            self._scan_all_fn = scan_all
+        return self._scan_all_fn
+
     def run_scanned(self, n_iters: Optional[int] = None, state=None):
         """All iterations for all seeds as ONE on-device ``lax.scan``.
 
@@ -165,36 +199,46 @@ class SeedEnsembleSolver:
         at every iteration.  Averaging independent DIP draws cancels
         per-draw noise the same way the window-mean return does within one
         run; the best-iteration ensemble mean is the engine's headline
-        estimator."""
-        import functools
+        estimator.
 
-        from ..ops.metrics import mpsnr as _mpsnr
-        from ..ops.ssim import ssim as _ssim
-
+        CAUTION: at production scale (8 seeds x 250 iterations of the
+        flagship DIP step) this program crashes the remote TPU compiler
+        (CLAUDE.md, commit b32ecc5) — use :meth:`run_chunked` there."""
         n = self.config.outer_iters if n_iters is None else n_iters
         state = self.init_state() if state is None else state
-        _step = self._step
-        h, w, b = self.shape
-
-        def body(st, _, consts):
-            new_st, aux = _step(st, consts)
-            mean_cube = jnp.mean(new_st.X, axis=0).reshape(h, w, b)
-            return new_st, {
-                "mpsnr": aux.mpsnr,
-                "ssim": aux.ssim,
-                "dip_iters": aux.dip_iters,
-                "ens_mpsnr": _mpsnr(consts.clean, mean_cube),
-                "ens_ssim": _ssim(consts.clean, mean_cube),
-            }
-
-        @functools.partial(jax.jit, static_argnames=("length",))
-        def scan_all(st, consts, length):
-            return jax.lax.scan(
-                functools.partial(body, consts=consts), st, None, length=length
-            )
-
-        final, hist = scan_all(state, self.consts, n)
+        final, hist = self._scan_all()(state, self.consts, n)
         return final, {k: np.asarray(v) for k, v in hist.items()}
+
+    def run_chunked(
+        self, n_iters: Optional[int] = None, state=None, chunk: int = 25
+    ):
+        """Chunked middle ground (VERDICT r4 #4): ``chunk`` outer
+        iterations per dispatch as one ``lax.scan`` with the ensemble
+        metrics folded into the body.
+
+        Program size stays ~``n/chunk``-times below the all-at-once scan
+        that crashes the remote compiler at ensemble scale, while host
+        round-trips drop ~``chunk``-fold vs :meth:`run` (which also pays a
+        SECOND dispatch per iteration for the ensemble metrics).  One
+        executable serves every full chunk; a final partial chunk compiles
+        once more at its remainder length."""
+        if chunk < 1:
+            raise ValueError(f"chunk must be >= 1, got {chunk}")
+        n = self.config.outer_iters if n_iters is None else n_iters
+        state = self.init_state() if state is None else state
+        scan_all = self._scan_all()
+        hists = []
+        done = 0
+        while done < n:
+            length = min(chunk, n - done)
+            state, hist = scan_all(state, self.consts, length)
+            hists.append(hist)
+            done += length
+        merged = {
+            k: np.concatenate([np.asarray(h[k]) for h in hists], axis=0)
+            for k in hists[0]
+        }
+        return state, merged
 
     def spread(self, hist) -> dict:
         """Per-seed best MPSNR + aggregate stats from a run's history."""

@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--ensemble", type=int, default=0, metavar="N",
                     help="run an N-seed ensemble (seeds seed..seed+N-1) and "
                     "report the ensemble-mean quality")
+    ap.add_argument("--ens-chunk", type=int, default=25,
+                    help="outer iterations per ensemble dispatch "
+                    "(run_chunked); 0 = host-stepped run() fallback")
     ap.add_argument("--log", default=None, help="jsonl metrics output")
     ap.add_argument("--panels", default=None, help="dir for per-iter PNG panels")
     ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
@@ -67,7 +70,10 @@ def main():
         seeds = list(range(args.seed, args.seed + args.ensemble))
         ens = SeedEnsembleSolver(sample, D, cfg, seeds)
         t0 = time.time()
-        state, hist = ens.run(args.iters)
+        if args.ens_chunk > 0:
+            state, hist = ens.run_chunked(args.iters, chunk=args.ens_chunk)
+        else:
+            state, hist = ens.run(args.iters)
         em = np.asarray(hist["ens_mpsnr"])
         best_i = int(np.nanargmax(em))
         spread = ens.spread(hist)

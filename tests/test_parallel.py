@@ -253,3 +253,23 @@ def test_banded_sharded_solver_matches_single_device():
     st2, h2 = sharded.run()
     np.testing.assert_allclose(np.asarray(st1.X), np.asarray(st2.X), atol=5e-4)
     np.testing.assert_allclose(h1["mpsnr"], np.asarray(h2["mpsnr"]).ravel(), atol=1e-2)
+
+
+def test_seed_ensemble_run_chunked_matches_scanned():
+    """run_chunked (K iterations per dispatch, the remote-compiler-safe
+    production path, VERDICT r4 #4) must produce the same trajectory as
+    the all-at-once run_scanned — including a final PARTIAL chunk."""
+    from lrs_pnp_dip_tpu.solvers import SeedEnsembleSolver
+
+    s = synthetic_sample(height=16, width=16, bands=16, missing=0.1, seed=21)
+    D = random_dictionary(64, 32, seed=6)
+    cfg = _cfg(variant="lrs_pnp")
+    ens = SeedEnsembleSolver(s, D, cfg, seeds=[3, 11])
+    st_s, h_s = ens.run_scanned(5)
+    st_c, h_c = ens.run_chunked(5, chunk=2)  # chunks 2 + 2 + 1
+    np.testing.assert_allclose(
+        np.asarray(st_c.X), np.asarray(st_s.X), rtol=0, atol=5e-5
+    )
+    for k in ("mpsnr", "ens_mpsnr", "ens_ssim"):
+        assert h_c[k].shape == h_s[k].shape
+        np.testing.assert_allclose(h_c[k], h_s[k], rtol=0, atol=5e-3)
