@@ -97,6 +97,35 @@ def make_channel_constraint(
         specs = channel_sharding_specs(params, mesh, axis)
         return jax.tree.map(jax.lax.with_sharding_constraint, params, specs)
 
+    def born(params):
+        # Constraint for FRESHLY INITIALISED params (the fresh-net-per-
+        # outer-iteration DIP case): pin the initializer outputs fully
+        # replicated first, THEN apply the channel layout.  Without the
+        # replicate stage the channel constraint back-propagates into the
+        # PRNG bit-generation while_loop, whose body prefers a different
+        # tiled layout — SPMD then warns "Involuntary full
+        # rematerialization" and replicate-repartitions the loop carry
+        # every outer iteration (VERDICT r4 #6).  replicated -> channel is
+        # a local slice (free); tiled -> differently-tiled is not.
+        replicated = NamedSharding(mesh, P())
+        params = jax.tree.map(
+            lambda l: jax.lax.with_sharding_constraint(l, replicated), params
+        )
+        return constrain(params)
+
+    def inputs(x):
+        # Constraint for the DIP fit's data tensors (input/target/mask)
+        # under channel TP: fully replicated.  Without it the activations
+        # inherit X's row sharding (H over the patch axis), and a conv
+        # whose lhs is spatially sharded while its rhs is cout-sharded
+        # makes GSPMD respatialize the KERNEL (dim0 over patch) — the
+        # involuntary-full-rematerialization warning.  With replicated
+        # activations the convs partition purely channel-wise (matmul-like
+        # feature partitioning, the layout TP exists for).
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P()))
+
+    constrain.born = born
+    constrain.inputs = inputs
     return constrain
 
 

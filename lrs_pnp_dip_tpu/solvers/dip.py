@@ -93,13 +93,27 @@ def make_dip_fit(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def fit(key, dip_input, target, mask) -> DipResult:
+        if param_constraint is not None and hasattr(param_constraint, "inputs"):
+            # channel TP: replicate the data tensors so the convs partition
+            # over features, not space (see tensor.make_channel_constraint)
+            dip_input = param_constraint.inputs(dip_input)
+            target = param_constraint.inputs(target)
+            mask = param_constraint.inputs(mask)
         variables = model.init(key, dip_input)
         params = variables["params"]
         model_state = {k: v for k, v in variables.items() if k != "params"}
         if param_constraint is not None:
-            params = param_constraint(params)
-            model_state = param_constraint(model_state)
+            # the `born` variant (when provided) pins the initializer
+            # outputs replicated before the channel layout, keeping the
+            # constraint from back-propagating into the PRNG while_loop
+            born = getattr(param_constraint, "born", param_constraint)
+            params = born(params)
+            model_state = born(model_state)
         opt_state = opt.init(params)
+        if param_constraint is not None:
+            # Adam's m/v mirror the param tree — born in the same channel
+            # layout, so the while-loop carry never changes sharding
+            opt_state = param_constraint(opt_state)
         out_dim = 1
         for d in target.shape:
             out_dim *= int(d)
@@ -111,8 +125,26 @@ def make_dip_fit(
             (loss, (out, new_model_state)), grads = grad_fn(
                 s.params, s.model_state, dip_input, target, mask
             )
+            if param_constraint is not None and hasattr(param_constraint, "inputs"):
+                # keep the carried output replicated: its post-loop
+                # consumers (U -> the row-sharded X update) would otherwise
+                # back-propagate a spatial sharding into the conv stack
+                out = param_constraint.inputs(out)
+            if param_constraint is not None:
+                # kernel grads come out of a grad-conv whose spatial dims
+                # GSPMD may tile over the data-layout axes; pin them to the
+                # channel layout before they meet Adam's m/v
+                grads = param_constraint(grads)
             updates, opt_state = opt.update(grads, s.opt_state, s.params)
             params = optax.apply_updates(s.params, updates)
+            if param_constraint is not None:
+                # re-anchor the layout every iteration: without this the
+                # loop body's preferred shardings win inside the while
+                # carry and SPMD inserts a replicate-then-repartition
+                # ("involuntary full rematerialization") per outer step
+                params = param_constraint(params)
+                new_model_state = param_constraint(new_model_state)
+                opt_state = param_constraint(opt_state)
             es = jax.lax.cond(
                 s.i % cfg.show_every == 0,
                 lambda e: update_early_stop(e, out.reshape(-1), s.i, cfg.patience),
