@@ -484,12 +484,103 @@ def bench_sharded_prox(device, Y, D, n_ista, chain, reps):
     }
 
 
+def _chained_stage_ms(fn, carry0, chain, reps, roundtrip_s):
+    """Device time per application of ``fn`` (a carry -> carry function),
+    measured as a chain of ``chain`` dependent applications in ONE
+    ``lax.scan`` dispatch; auto-doubles the chain until it dominates the
+    tunnel round-trip (same validity rule as the headline stage)."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(length):
+        def chained(c):
+            out, _ = jax.lax.scan(lambda x, _: (fn(x), ()), c, None, length=length)
+            return sum(jnp.sum(l) for l in jax.tree.leaves(out))
+
+        return jax.jit(chained)
+
+    for _ in range(8):
+        j = make(chain)
+        _force(j(carry0))  # compile + warm
+        times = _timed_reps(j, carry0, warmup=0, reps=reps)
+        if min(times) >= 3.0 * roundtrip_s:
+            return (min(times) - roundtrip_s) / chain * 1e3, chain
+        chain *= 2
+    raise RuntimeError("stage chain never dominated the round-trip")
+
+
+def bench_large_cube_stages(solver, D, n_ista, reps, roundtrip_s):
+    """Per-stage device decomposition of the 144^2 outer iteration
+    (VERDICT r4 weak #2: the 16x block-iters/s collapse vs the 36^2
+    problem was unexplained and unattributed).  Each stage is measured as
+    its own chained on-device scan at the full 144x144x128 geometry."""
+    import jax
+    import jax.numpy as jnp
+
+    from lrs_pnp_dip_tpu.ops.blocks import block_grid, extract_blocks, scatter_blocks
+    from lrs_pnp_dip_tpu.ops.ista import _alpha_specnorm, sparse_prox
+    from lrs_pnp_dip_tpu.ops.metrics import mpsnr
+    from lrs_pnp_dip_tpu.ops.ssim import ssim
+    from lrs_pnp_dip_tpu.ops.svt import svt_gram
+
+    consts = solver.consts
+    cfg = solver.config
+    h, w, b = solver.sample.shape
+    grid = block_grid((h * w, b), cfg.block_size, cfg.stride)
+    X0 = consts.Y
+    blocks0 = extract_blocks(X0, grid)
+    M = consts.mask_blocks
+    Dd = consts.D
+    stages = {}
+
+    def stage(name, fn, carry0, chain=2):
+        ms, used = _chained_stage_ms(fn, carry0, chain, reps, roundtrip_s)
+        stages[name] = {"device_ms": round(ms, 3), "chain": used}
+        _log(f"[bench]   stage {name}: {ms:.2f} ms")
+
+    # ISTA iterations only (the MXU work; carry = reconstructed blocks;
+    # alpha passed precomputed, as the solver engine now does)
+    stage(
+        "sparse_ista",
+        lambda blk: sparse_prox(blk, M, Dd, cfg.sparse, alpha=consts.alpha),
+        blocks0,
+    )
+    # alpha power iteration alone (what the consts hoist saves per
+    # iteration; tiny carry keeps the scan honest)
+    stage(
+        "alpha_specnorm",
+        # M + 1e-25*s: numerically M (1e-25 is below f32 ulp of 1.0) but a
+        # real data dependency, so LICM cannot hoist the power iteration
+        lambda s: 1e-20
+        * jnp.sum(_alpha_specnorm(Dd, M + 1e-25 * s, cfg.sparse.power_iters))
+        + s,
+        jnp.float32(1.0),
+    )
+    # extract + scatter round trip (the block-layout traffic)
+    stage(
+        "extract_scatter",
+        lambda X: scatter_blocks(extract_blocks(X, grid), grid) / grid.weight(),
+        X0,
+    )
+    # SVT via Gram/eigh
+    stage("svt", lambda Z: svt_gram(Z, 1.0 / cfg.mu2), X0)
+    # in-loop metrics (MPSNR + SSIM on the full cube)
+    def metrics_stage(X):
+        cube = X.reshape(h, w, b)
+        return X * (1.0 + 1e-20 * (mpsnr(consts.clean, cube) + ssim(consts.clean, cube)))
+
+    stage("metrics_mpsnr_ssim", metrics_stage, X0)
+    return stages
+
+
 def bench_large_cube(D, reps, quick):
     """First-class large-cube throughput (VERDICT r3 #6): a 144x144x128
     whole-scene LRS-PnP outer iteration (16x the reference problem, 2,304
-    blocks) measured as an on-device ``run_scanned``, plus a 288x288x128
-    tile-streamed solve through :func:`solvers.tiled.solve_tiled` — the
-    'arbitrary HxWxB from day one' design goal, driver-captured."""
+    blocks) measured as an on-device ``run_scanned``, plus a per-stage
+    decomposition of that iteration (VERDICT r4 weak #2), plus a
+    288x288x128 tile-streamed solve through
+    :func:`solvers.tiled.solve_tiled` — the 'arbitrary HxWxB from day one'
+    design goal, driver-captured."""
     import jax
     import jax.numpy as jnp
 
@@ -542,9 +633,28 @@ def bench_large_cube(D, reps, quick):
         "scan_iters": n_scan,
         "s_per_outer_iter": round(per_iter, 4),
         "block_iters_per_sec": round(grid.n_blocks * n_ista / per_iter, 1),
-        "sparse_stage_achieved_tflops": round(sparse_flops / per_iter / 1e12, 3),
+        # sparse-stage flops over the WHOLE outer-iteration time — a lower
+        # bound on chip utilization, labeled as such (the r4 field divided
+        # stage flops by whole-iteration time under a stage-sounding name)
+        "outer_iter_tflops_lower_bound": round(sparse_flops / per_iter / 1e12, 3),
         "mpsnr_after": round(float(np.asarray(hist["mpsnr"])[-1]), 3),
     }
+    try:
+        stages = bench_large_cube_stages(solver, D, n_ista, reps, roundtrip_s)
+        rec["whole_scene_144"]["stages"] = stages
+        ista_ms = stages["sparse_ista"]["device_ms"]
+        # the TRUE sparse-stage utilization, from its own device time
+        rec["whole_scene_144"]["sparse_stage_achieved_tflops"] = round(
+            sparse_flops / (ista_ms / 1e3) / 1e12, 3
+        )
+        accounted = sum(s["device_ms"] for s in stages.values())
+        rec["whole_scene_144"]["stages_accounted_ms"] = round(accounted, 2)
+        rec["whole_scene_144"]["stages_unaccounted_ms"] = round(
+            per_iter * 1e3 - accounted, 2
+        )
+    except Exception as e:  # decomposition is additive — keep the headline
+        _log(f"[bench] large-cube stage decomposition failed: "
+             f"{type(e).__name__}: {e}")
 
     # --- tile-streamed 288x288x128 through solve_tiled ------------------
     if not quick:
@@ -770,7 +880,8 @@ def main():
             _log(
                 f"[bench] large cube 144x144x128: {ws['s_per_outer_iter']:.3f} "
                 f"s/outer-iter ({ws['block_iters_per_sec']:,.0f} block-iters/s, "
-                f"{ws['sparse_stage_achieved_tflops']:.1f} TF/s sparse stage)"
+                f"sparse stage {ws.get('sparse_stage_achieved_tflops', float('nan')):.1f} TF/s, "
+                f"unaccounted {ws.get('stages_unaccounted_ms', float('nan')):.0f} ms)"
             )
         except Exception as e:
             _log(f"[bench] large cube failed: {type(e).__name__}: {e}")

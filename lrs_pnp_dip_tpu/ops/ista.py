@@ -110,12 +110,36 @@ def _alpha_specnorm(
     return jnp.sum(v * u, axis=1)  # Rayleigh quotient (v unit-norm)
 
 
+def compute_alpha(
+    D: jnp.ndarray, mask_blocks: jnp.ndarray, cfg: SparseProxConfig,
+    axis_name=None,
+) -> jnp.ndarray:
+    """Per-block ISTA step sizes (nB,) for the configured ``alpha_mode``.
+
+    Alpha depends only on the dictionary and the (fixed) observation mask
+    — NOT on the iterate — so production engines precompute it once per
+    problem (``solvers.admm.make_consts``) instead of re-running the
+    ``specnorm`` power iteration inside every outer iteration (round-5
+    large-cube decomposition: the 50-step power iteration costs ~half the
+    ISTA matmul flops per call)."""
+    M = mask_blocks.astype(jnp.float32)
+    D = D.astype(jnp.float32)
+    if cfg.alpha_mode == "trace4":
+        alpha = _alpha_trace4(D, M, axis_name)
+    elif cfg.alpha_mode == "specnorm":
+        alpha = _alpha_specnorm(D, M, cfg.power_iters, axis_name)
+    else:
+        raise ValueError(cfg.alpha_mode)
+    return jnp.maximum(alpha, 1e-12)
+
+
 def pnp_ista_blocks_impl(
     blocks: jnp.ndarray,
     mask_blocks: jnp.ndarray,
     D: jnp.ndarray,
     cfg: SparseProxConfig,
     axis_name=None,
+    alpha=None,
 ) -> jnp.ndarray:
     """Masked PnP-ISTA body.  With ``axis_name`` set this runs inside a
     shard_map with the PIXEL rows of both the blocks and the dictionary
@@ -130,13 +154,10 @@ def pnp_ista_blocks_impl(
     nB, P = Y.shape
     K = D.shape[1]
 
-    if cfg.alpha_mode == "trace4":
-        alpha = _alpha_trace4(D, M, axis_name)
-    elif cfg.alpha_mode == "specnorm":
-        alpha = _alpha_specnorm(D, M, cfg.power_iters, axis_name)
+    if alpha is None:
+        alpha = compute_alpha(D, M, cfg, axis_name)
     else:
-        raise ValueError(cfg.alpha_mode)
-    alpha = jnp.maximum(alpha, 1e-12)
+        alpha = jnp.maximum(alpha.astype(jnp.float32), 1e-12)
     h = cfg.h_scale * cfg.lambda_ista / (2.0 * alpha)  # per-block NLM h
 
     Ym = M * Y
@@ -185,9 +206,10 @@ def pnp_ista_blocks(
     mask_blocks: jnp.ndarray,  # (nB, P) 1 = observed entry
     D: jnp.ndarray,  # (P, K) dictionary
     cfg: SparseProxConfig = SparseProxConfig(),
+    alpha=None,  # optional precomputed per-block step sizes (nB,)
 ) -> jnp.ndarray:
     """Run masked PnP-ISTA on every block; return coefficients (nB, K)."""
-    return pnp_ista_blocks_impl(blocks, mask_blocks, D, cfg)
+    return pnp_ista_blocks_impl(blocks, mask_blocks, D, cfg, alpha=alpha)
 
 
 def _use_pallas(cfg: SparseProxConfig) -> bool:
@@ -223,18 +245,22 @@ def sparse_prox(
     mask_blocks: jnp.ndarray,
     D: jnp.ndarray,
     cfg: SparseProxConfig = SparseProxConfig(),
+    alpha=None,
 ) -> jnp.ndarray:
     """Full sparse-coding prox: ISTA coefficients + FULL-dictionary
     reconstruction (reference ``Phi_z[:, j] = D @ Coefs``, ``:393``).
 
-    Returns reconstructed blocks (nB, P).
+    ``alpha``: optional precomputed per-block step sizes (see
+    :func:`compute_alpha`) — mask/dictionary constants, so solvers hoist
+    them out of the outer loop.  Returns reconstructed blocks (nB, P).
     """
     if _use_pallas(cfg):
         from .ista_pallas import pnp_ista_blocks_pallas
 
         coefs = pnp_ista_blocks_pallas(
-            blocks, mask_blocks, D, cfg, interpret=_pallas_interpret()
+            blocks, mask_blocks, D, cfg, interpret=_pallas_interpret(),
+            alpha=alpha,
         )
     else:
-        coefs = pnp_ista_blocks(blocks, mask_blocks, D, cfg)
+        coefs = pnp_ista_blocks(blocks, mask_blocks, D, cfg, alpha=alpha)
     return coefs @ D.T

@@ -113,10 +113,11 @@ def pnp_ista_blocks_pallas(
     cfg,
     interpret: bool = False,
     vmem_budget: int = 12 * 1024 * 1024,
+    alpha=None,
 ) -> jnp.ndarray:
     """Drop-in replacement for :func:`..ista.pnp_ista_blocks` running the
     whole scan in one Pallas invocation.  Returns coefficients (nB, K)."""
-    from .ista import _alpha_specnorm, _alpha_trace4
+    from .ista import compute_alpha
 
     Y = blocks.astype(jnp.float32)
     M = mask_blocks.astype(jnp.float32)
@@ -124,13 +125,10 @@ def pnp_ista_blocks_pallas(
     nB, P = Y.shape
     K = D.shape[1]
 
-    if cfg.alpha_mode == "trace4":
-        alpha = _alpha_trace4(D, M)
-    elif cfg.alpha_mode == "specnorm":
-        alpha = _alpha_specnorm(D, M, cfg.power_iters)
+    if alpha is None:
+        alpha = compute_alpha(D, M, cfg)
     else:
-        raise ValueError(cfg.alpha_mode)
-    alpha = jnp.maximum(alpha, 1e-12)
+        alpha = jnp.maximum(alpha.astype(jnp.float32), 1e-12)
     h = cfg.h_scale * cfg.lambda_ista / (2.0 * alpha)
     h2s2 = jnp.maximum(h * h * 9.0, 1e-30)
     neg_inv_h2s2 = -1.0 / h2s2

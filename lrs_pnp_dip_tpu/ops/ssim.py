@@ -29,20 +29,38 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return np.asarray(w, dtype=np.float32)
 
 
-def _depthwise_filter(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
-    """NHWC depthwise 'same' (zero-padded) gaussian filtering."""
-    c = x.shape[-1]
-    w2d = jnp.asarray(_gaussian_window(window_size))
-    kernel = jnp.tile(w2d[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1
+@functools.lru_cache(maxsize=None)
+def _band_matrix(n: int, window_size: int, sigma: float = 1.5) -> np.ndarray:
+    """(n, n) banded Toeplitz matrix of the zero-padded 'same' 1-D gaussian
+    filter: row i holds g centered at i, truncated at the borders — exactly
+    the per-axis action of the reference's zero-padded depthwise conv."""
+    x = np.arange(window_size, dtype=np.float64)
+    g = np.exp(-((x - window_size // 2) ** 2) / (2 * sigma**2))
+    g = g / g.sum()
     pad = window_size // 2
-    return jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+    W = np.zeros((n, n), dtype=np.float32)
+    for i in range(n):
+        lo = max(0, i - pad)
+        hi = min(n, i + pad + 1)
+        W[i, lo:hi] = g[lo - (i - pad) : hi - (i - pad)]
+    return W
+
+
+def _depthwise_filter(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
+    """NHWC 'same' (zero-padded) gaussian filtering.
+
+    The gaussian window is separable (``_gaussian_window`` IS the outer
+    product of its 1-D profile, reference ``pytorch_ssim/__init__.py:7-16``),
+    so the 11x11 depthwise conv factors exactly into two banded-matrix
+    contractions — (H,H)@(...) and (W,W)@(...) — which land on the MXU
+    instead of lowering to a 121-tap VPU depthwise conv.  At 144x144x128
+    the conv formulation dominated the whole outer iteration (round-5
+    large-cube stage decomposition); the matmul form is the same math in
+    float-reordered arithmetic."""
+    wh = jnp.asarray(_band_matrix(x.shape[1], window_size))
+    ww = jnp.asarray(_band_matrix(x.shape[2], window_size))
+    y = jnp.einsum("hj,njwc->nhwc", wh, x)
+    return jnp.einsum("wk,nhkc->nhwc", ww, y)
 
 
 def ssim(

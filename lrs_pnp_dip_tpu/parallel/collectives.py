@@ -125,19 +125,25 @@ def make_sharded_sparse_prox(mesh: Mesh, cfg, axis: str = "patch") -> Callable:
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P()),
+        in_specs=(P(axis, None), P(axis, None), P(), P(axis)),
         out_specs=P(axis, None),
     )
-    def _local(blocks, mask_blocks, D):
-        return sparse_prox(blocks, mask_blocks, D, cfg)
+    def _local(blocks, mask_blocks, D, alpha):
+        return sparse_prox(blocks, mask_blocks, D, cfg, alpha=alpha)
 
-    def prox(blocks, mask_blocks, D):
+    def prox(blocks, mask_blocks, D, alpha=None):
+        from ..ops.ista import compute_alpha
+
         nB = blocks.shape[0]
         pad = (-nB) % n_shards
         if pad:
             blocks = jnp.pad(blocks, ((0, pad), (0, 0)))
             mask_blocks = jnp.pad(mask_blocks, ((0, pad), (0, 0)))
-        out = _local(blocks, mask_blocks, D)
+        if alpha is None:
+            alpha = compute_alpha(D, mask_blocks, cfg)
+        elif pad:
+            alpha = jnp.pad(alpha, (0, pad), constant_values=1.0)
+        out = _local(blocks, mask_blocks, D, alpha)
         return out[:nB]
 
     return prox
@@ -181,17 +187,22 @@ def make_sharded_sparse_prox_2d(
             P(patch_axis, band_axis),
             P(patch_axis, band_axis),
             P(band_axis, None),
+            P(patch_axis),
         ),
         out_specs=P(patch_axis, band_axis),
     )
-    def _local(blocks, mask_blocks, D_local):
+    def _local(blocks, mask_blocks, D_local, alpha):
         coefs = pnp_ista_blocks_impl(
-            blocks, mask_blocks, D_local, cfg, axis_name=band_axis
+            blocks, mask_blocks, D_local, cfg, axis_name=band_axis, alpha=alpha
         )
         return coefs @ D_local.T  # this device's pixel columns only
 
-    def prox(blocks, mask_blocks, D):
+    def prox(blocks, mask_blocks, D, alpha=None):
+        from ..ops.ista import compute_alpha
+
         nB, Pdim = blocks.shape
+        if alpha is None:
+            alpha = compute_alpha(D, mask_blocks, cfg)
         pad_b = (-nB) % p_shards
         pad_p = (-Pdim) % b_shards
         if pad_b or pad_p:
@@ -200,7 +211,9 @@ def make_sharded_sparse_prox_2d(
             blocks = jnp.pad(blocks, ((0, pad_b), (0, pad_p)))
             mask_blocks = jnp.pad(mask_blocks, ((0, pad_b), (0, pad_p)))
             D = jnp.pad(D, ((0, pad_p), (0, 0)))
-        out = _local(blocks, mask_blocks, D)
+            if pad_b:
+                alpha = jnp.pad(alpha, (0, pad_b), constant_values=1.0)
+        out = _local(blocks, mask_blocks, D, alpha)
         return out[:nB, :Pdim]
 
     return prox

@@ -60,6 +60,7 @@ def consts_sharding(mesh: Mesh, batched: bool = False) -> ProblemConsts:
         clean=rep,
         dip_target=rep,
         dip_mask=rep,
+        alpha=blocks,  # (nB,): block axis over patch, like mask_blocks
     )
 
 

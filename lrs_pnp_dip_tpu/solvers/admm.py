@@ -69,6 +69,10 @@ class ProblemConsts(NamedTuple):
     clean: jnp.ndarray  # (H, W, B) ground truth (or NaN)
     dip_target: jnp.ndarray  # (1, H, W, B) fixed noisy target (DIP variants)
     dip_mask: jnp.ndarray  # (1, H, W, 1) observation mask for DIP loss
+    alpha: jnp.ndarray  # (nB,) precomputed per-block ISTA step sizes —
+    #   mask/dictionary constants (ops.ista.compute_alpha), hoisted out of
+    #   the outer loop so the specnorm power iteration runs once per
+    #   problem, not once per outer iteration
 
 
 class StepAux(NamedTuple):
@@ -138,7 +142,9 @@ def build_step(
         raise ValueError(f"unknown variant {cfg.variant!r}")
     svt_fn = svt_fn or svt_gram
     if sparse_prox_fn is None:
-        sparse_prox_fn = lambda b, m, d: sparse_prox(b, m, d, cfg.sparse)
+        sparse_prox_fn = lambda b, m, d, alpha=None: sparse_prox(
+            b, m, d, cfg.sparse, alpha=alpha
+        )
 
     def u_update(X, lambda2, key, consts: ProblemConsts):
         Z = X + lambda2 / cfg.mu2
@@ -159,7 +165,7 @@ def build_step(
         key, dip_key = jax.random.split(state.key)
         # 1. sparse-coding prox over blocks
         blocks = extract_blocks(state.X + state.lambda1 / cfg.mu1, grid)
-        phi = sparse_prox_fn(blocks, consts.mask_blocks, consts.D)
+        phi = sparse_prox_fn(blocks, consts.mask_blocks, consts.D, consts.alpha)
         # 2. low-rank / DIP prox
         U, dip_iters, dip_loss = u_update(state.X, state.lambda2, dip_key, consts)
         # 3. closed-form X
@@ -209,14 +215,18 @@ def make_consts(
         if sample.clean is not None
         else jnp.full((h, w, b), jnp.nan, jnp.float32)
     )
+    from ..ops.ista import compute_alpha
+
+    D = jnp.asarray(dictionary, jnp.float32)
     return ProblemConsts(
         Y=Y,
         mask2d=mask2d,
         mask_blocks=mask_blocks,
-        D=jnp.asarray(dictionary, jnp.float32),
+        D=D,
         clean=clean,
         dip_target=jnp.asarray(sample.noisy, jnp.float32)[None],
         dip_mask=jnp.asarray(sample.mask, jnp.float32)[None, :, :, None],
+        alpha=compute_alpha(D, mask_blocks, config.sparse),
     )
 
 

@@ -54,3 +54,35 @@ def test_scatter_weight_roundtrip(rng):
     wt = np.asarray(g.weight())
     assert wt.min() >= 1.0
     np.testing.assert_allclose(acc / wt, img, rtol=1e-5, atol=1e-6)
+
+
+def test_structured_fast_path_matches_general_gather_scatter():
+    """The regular-grid reshape/slice fast path must be bit-identical to the
+    general gather/scatter (which stays the fallback for irregular grids)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lrs_pnp_dip_tpu.ops import blocks as B
+
+    rng = np.random.default_rng(0)
+    for (P, Bands, bb) in [(1296, 128, 36), (144, 16, 12), (72, 20, 6)]:
+        grid = B.block_grid((P, Bands), bb, bb)
+        assert B._regular_layout(grid) is not None
+        Y = jnp.asarray(rng.standard_normal((P, Bands)).astype(np.float32))
+        rows, cols = B._gather_indices(grid)
+        ref_blocks = Y[rows, cols].reshape(grid.n_blocks, bb * bb)
+        got_blocks = B.extract_blocks(Y, grid)
+        np.testing.assert_array_equal(np.asarray(got_blocks), np.asarray(ref_blocks))
+        blk = jnp.asarray(
+            rng.standard_normal((grid.n_blocks, bb * bb)).astype(np.float32)
+        )
+        ref_out = jnp.zeros(grid.shape, jnp.float32).at[rows, cols].add(
+            blk.reshape(grid.n_blocks, bb, bb)
+        )
+        got_out = B.scatter_blocks(blk, grid)
+        np.testing.assert_allclose(
+            np.asarray(got_out), np.asarray(ref_out), rtol=1e-6, atol=1e-6
+        )
+    # irregular pixel grid (overlapping x starts) -> fallback must engage
+    grid_ir = B.block_grid((100, 16), 12, 8)
+    assert B._regular_layout(grid_ir) is None

@@ -125,3 +125,28 @@ def test_ista_recovers_sparse_signal(rng):
     err_out = np.linalg.norm(phi - clean)
     err_in = np.linalg.norm(y - clean)
     assert err_out < 0.5 * err_in
+
+
+def test_precomputed_alpha_matches_in_step_alpha():
+    """compute_alpha (hoisted once per problem into ProblemConsts) must be
+    bit-identical to the in-call alpha for both step-size modes and both
+    backends' entry points (round-5 outer-loop hoist)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lrs_pnp_dip_tpu.ops.ista import (
+        SparseProxConfig, compute_alpha, sparse_prox,
+    )
+
+    rng = np.random.default_rng(3)
+    nB, P, K = 12, 64, 48
+    blocks = jnp.asarray(rng.random((nB, P)).astype(np.float32))
+    M = jnp.asarray((rng.random((nB, P)) > 0.1).astype(np.float32))
+    D = jnp.asarray(rng.standard_normal((P, K)).astype(np.float32))
+    for mode in ("trace4", "specnorm"):
+        cfg = SparseProxConfig(n_iter=5, alpha_mode=mode, backend="xla",
+                               power_iters=20)
+        alpha = compute_alpha(D, M, cfg)
+        out_in = sparse_prox(blocks, M, D, cfg)
+        out_pre = sparse_prox(blocks, M, D, cfg, alpha=alpha)
+        np.testing.assert_array_equal(np.asarray(out_in), np.asarray(out_pre))
