@@ -113,3 +113,19 @@ def test_solve_tiled_final_batch_right_sized(rng, monkeypatch):
     assert sizes_rs == [2], sizes_rs  # 2 real tiles -> 2 device lanes
     assert sizes_pad == [8], sizes_pad  # padded path burns 8 lanes
     np.testing.assert_allclose(rec_rs, rec_pad, rtol=1e-6, atol=1e-6)
+
+
+def test_tiled_engine_cached_across_calls(rng):
+    """Repeated solve_tiled calls with the same (config, tile, net) reuse
+    ONE compiled engine (round-5: per-call jit objects re-traced and
+    re-remote-compiled every scene solve)."""
+    from lrs_pnp_dip_tpu.solvers.tiled import _tiled_engine
+
+    cfg = SolverConfig(
+        variant="lrs_pnp", outer_iters=1, block_size=8, stride=8,
+        sparse=SparseProxConfig(n_iter=2), dip=None,
+    )
+    e1 = _tiled_engine(cfg, (16, 16, 8), True, None)
+    e2 = _tiled_engine(cfg, (16, 16, 8), True, None)
+    assert e1 is e2
+    assert _tiled_engine(cfg, (16, 16, 8), False, None) is not e1
