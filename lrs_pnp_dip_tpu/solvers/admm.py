@@ -199,11 +199,21 @@ def build_step(
 def make_consts(
     sample: HsiSample, dictionary, config: SolverConfig
 ) -> ProblemConsts:
-    """Assemble the per-problem constant pytree from a sample."""
+    """Assemble the per-problem constant pytree from a sample.
+
+    Host->device transfers are minimised (the axon tunnel moves tens of
+    MB/s, and the tiled engine calls this per tile): only ``noisy``
+    (H,W,B), ``mask`` (H,W), ``clean`` and the dictionary are uploaded;
+    ``Y``/``mask2d``/``mask_blocks``/``dip_target``/``alpha`` are derived
+    ON DEVICE — the round-5 tiled bench measured the previous host-built
+    uploads (3 extra ~10 MB arrays per 144² tile) dominating the warm
+    whole-scene wall."""
     h, w, b = sample.shape
-    Y = jnp.asarray(matricize(sample.noisy), jnp.float32)
-    mask2d = jnp.asarray(
-        np.repeat(matricize(sample.mask[..., None]), b, axis=1), jnp.float32
+    noisy = jnp.asarray(sample.noisy, jnp.float32)  # (H, W, B) upload
+    mask_hw = jnp.asarray(sample.mask, jnp.float32)  # (H, W) upload
+    Y = noisy.reshape(h * w, b)  # matricize: row-major pixels
+    mask2d = jnp.broadcast_to(mask_hw.reshape(h * w, 1), (h * w, b)).astype(
+        jnp.float32
     )
     grid = block_grid((h * w, b), config.block_size, config.stride)
     obs_blocks = extract_blocks(Y, grid)
@@ -224,8 +234,8 @@ def make_consts(
         mask_blocks=mask_blocks,
         D=D,
         clean=clean,
-        dip_target=jnp.asarray(sample.noisy, jnp.float32)[None],
-        dip_mask=jnp.asarray(sample.mask, jnp.float32)[None, :, :, None],
+        dip_target=noisy[None],
+        dip_mask=mask_hw[None, :, :, None],
         alpha=compute_alpha(D, mask_blocks, config.sparse),
     )
 

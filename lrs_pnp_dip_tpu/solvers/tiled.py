@@ -112,9 +112,12 @@ def solve_tiled(
             # (extras sliced away below; costs n_pad wasted device lanes)
             while len(samples) < tile_batch:
                 samples.append(samples[-1])
-        consts = stack_consts([make_consts(s, dictionary, config) for s in samples])
+        consts_list = [make_consts(s, dictionary, config) for s in samples]
+        consts = stack_consts(consts_list)
+        # init from the already-uploaded consts.Y (X starts at the observed
+        # image) — avoids re-uploading every tile over the slow tunnel
         state = stack_states(
-            [init_state(s, config.seed + i) for i, s in enumerate(samples)]
+            [init_state(c.Y, config.seed + i) for i, c in enumerate(consts_list)]
         )
         if scan:
             state = run_batch(state, consts, n)
