@@ -831,7 +831,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="fewer timing reps")
     p.add_argument("--skip-cpu", action="store_true", help="skip the CPU comparator")
-    p.add_argument("--watchdog", type=int, default=1500, help="seconds before wedge fallback")
+    p.add_argument(
+        "--watchdog", type=int, default=2400,
+        help="seconds before wedge fallback (a full run with cold remote "
+        "compiles measures 13-18 min; 1500 s left no slack for a slow "
+        "tunnel session)",
+    )
     p.add_argument(
         "--micro-only",
         action="store_true",
