@@ -43,21 +43,19 @@ def main():
               "scan-of-250 crashed the remote compiler (commit b32ecc5).\n")
 
     pro = _load("runs_r5", "pro_rows.json")
-    r4 = _load("runs_r4", "ensemble.json")
     agg = pro.get("_aggregate_16seed", {})
     if agg:
-        print("## PRo rows: 16-seed faithful max + window-mean estimator\n")
-        print("| Ref figure | Ref MPSNR | faithful 8-seed max (r4) | "
-              "faithful 16-seed max | window-mean 8-seed max | best delta |")
-        print("|---|---|---|---|---|---|")
+        print("## PRo rows: extended faithful seed study\n")
+        print("| Ref figure | Ref MPSNR | faithful max (n seeds) | "
+              "window-mean 8-seed max | residual |")
+        print("|---|---|---|---|---|")
         names = {"img2": "PRo/sample_img1", "img3": "PRo/sample_img2"}
         for img, a in agg.items():
-            r4max = r4.get(f"ens_dip_{img}", {}).get("per_seed_best_max")
+            best = a.get("faithful_allseed_max", a.get("faithful_16seed_max"))
+            n = a.get("n_faithful_seeds", 16)
             wm = a.get("window_mean_8seed_max")
-            best = max(v for v in (a["faithful_16seed_max"], wm) if v is not None)
-            print(f"| {names.get(img, img)} | {a['ref_figure']} | {r4max} | "
-                  f"{a['faithful_16seed_max']} | "
-                  f"{round(wm, 3) if wm else '—'} | "
+            print(f"| {names.get(img, img)} | {a['ref_figure']} | "
+                  f"{best} ({n}) | {round(wm, 3) if wm else '—'} | "
                   f"{best - a['ref_figure']:+.3f} |")
         print()
 
